@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Modes:
+  python bench.py                 # headline run (driver contract)
+  python bench.py --scaling       # same job at local[8] vs local[32] ->
+                                  # throughput + scaling efficiency (north rule)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q_running_total",
+    "q_strip_regularize",
+    "q_token_count",
+    "q_exact_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_ann_cosine_topk",
+    "q_cer_eval",
+]
+EXTRACTION = ["x_extract_docs"]  # added when the pipeline query exists
+
+
+def run_queries(spark, names, sf_dir, reps: int = 2):
+    """Per query: run `reps` times, report the min (steady-state — Spark's
+    one-time whole-stage-codegen Janino compile otherwise dominates small-SF
+    numbers and says nothing about 100 TB throughput)."""
+    from calamari_spark.plans.registry import QUERIES
+
+    times = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        fn, _ = QUERIES[name]
+        best = None
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    from calamari_spark.session import get_spark
+
+    scaling = "--scaling" in sys.argv
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    if scaling:
+        from calamari_spark.plans.bench_scaling import run_scaling
+
+        out = run_scaling(SF_DIR)
+        print(json.dumps(out))
+        return
+
+    spark = get_spark("bench", cores=CPUS)
+    # warm the JVM/parquet footers once so per-query numbers measure the
+    # queries, not session bring-up
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times = run_queries(spark, HEADLINE + EXTRACTION, SF_DIR)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

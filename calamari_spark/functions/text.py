@@ -1,0 +1,217 @@
+"""Text processing functions: the engine's boilerplate-strip layer.
+
+Re-derives the reference's text-processor semantics as Catalyst-native
+column expressions wherever possible (JVM-side, whole-stage-codegen'd):
+
+* strip                  (reference: calamari_ocr/ocr/dataset/textprocessors/basic_text_processors.py:20-35)
+* NFC unicode normalize  (reference: textprocessors/text_normalizer.py:24-28)
+* bidi display reorder   (reference: textprocessors/basic_text_processors.py:61-67)
+* regularizer rulesets   (reference: textprocessors/text_regularizer.py:47-137,
+                          rule data: calamari_ocr/resources/rulesets/*.json,
+                          groups:    calamari_ocr/resources/rulegroups.json)
+
+Ruleset *data* below is re-typed from the reference's published JSON
+resources (they are declarative data, cited above, not engine code).
+The archaic-glyph ruleset ``uvius`` (private-use-area scribal abbreviations)
+is intentionally omitted: it maps font-private codepoints and is not part of
+the public extraction semantics this engine targets.
+
+Each entry: (pattern, replacement, is_regex). Rules apply **in order**;
+order matters (the reference composes them as a function chain).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import List, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Rule = Tuple[str, str, bool]
+
+RULESETS: dict[str, List[Rule]] = {
+    # reference: resources/rulesets/spaces.json
+    "spaces": [
+        (r"\s+", " ", True),
+        (r"\n", "", True),
+        (r"^\s+", "", True),
+        (r"\s+$", "", True),
+    ],
+    # reference: resources/rulesets/quotes.json
+    "quotes": [
+        ('"', "''", False),
+        ("`", "'", False),
+        ("\u201c", "''", False),   # “
+        ("\u201d", "''", False),   # ”
+        ("\u00b4", "'", False),    # ´
+        ("\u2018", "'", False),    # ‘
+        ("\u2019", "'", False),    # ’
+        ("\u201e", ",,", False),   # „
+        ("\u2026", "...", False),  # …
+        ("\u2032", "'", False),    # ′
+        ("\u2033", "''", False),   # ″
+        ("\u2034", "'''", False),  # ‴
+        ("\u3003", "''", False),   # 〃
+    ],
+    # reference: resources/rulesets/punctuation.json
+    "punctuation": [
+        (r"(\S)(\s*)([.,:;?!])(\s*)(\S)", r"\1\3 \5", True),
+    ],
+    # reference: resources/rulesets/various.json
+    "various": [
+        ("\u00b5", "\u03bc", False),  # µ -> μ
+        ("\u2013", "-", False),       # –
+        ("\u2014", "-", False),       # —
+        ("\u00ac", "-", False),       # ¬
+    ],
+    # reference: resources/rulesets/roman_digits.json
+    "roman_digits": [
+        (c, r_, False)
+        for c, r_ in list(
+            zip(
+                "\u2160\u2161\u2162\u2163\u2164\u2165\u2166\u2167\u2168\u2169\u216a\u216b\u216c\u216d\u216e\u216f",
+                ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X", "XI", "XII", "L", "C", "D", "M"],
+            )
+        )
+        + list(
+            zip(
+                "\u2170\u2171\u2172\u2173\u2174\u2175\u2176\u2177\u2178\u2179\u217a\u217b\u217c\u217d\u217e\u217f",
+                ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix", "x", "xi", "xii", "l", "c", "d", "m"],
+            )
+        )
+    ],
+    # reference: resources/rulesets/ligatures_consonantal.json
+    "ligatures_consonantal": [
+        ("\ua738", "AV", False), ("\ua739", "av", False),
+        ("\ua73a", "AV", False), ("\ua73b", "av", False),
+        ("\ua73c", "AY", False), ("\ua73d", "ay", False),
+        ("\U0001f670", "et", False),
+        ("\ufb00", "ff", False), ("\ufb03", "ffi", False), ("\ufb04", "ffl", False),
+        ("\ufb02", "fl", False), ("\ufb01", "fi", False),
+        ("\ufb06", "st", False), ("\ufb05", "\u017ft", False),
+        ("\ua728", "TZ", False), ("\ua729", "tz", False),
+        ("\ua760", "VY", False), ("\ua761", "vy", False),
+    ],
+    # reference: resources/rulesets/ligatures_vocal.json
+    "ligatures_vocal": [
+        ("\ua732", "AA", False), ("\ua733", "aa", False),
+        ("\u00c6", "AE", False), ("\u00e6", "ae", False),
+        ("\ua734", "AO", False), ("\ua735", "ao", False),
+        ("\ua736", "AU", False), ("\ua737", "au", False),
+        ("\u0152", "OE", False), ("\u0153", "oe", False),
+        ("\ua74e", "OO", False), ("\ua74f", "oo", False),
+        ("\u1d6b", "ue", False),
+    ],
+}
+
+# reference: resources/rulegroups.json ('zpd' minus the omitted 'uvius')
+RULEGROUPS: dict[str, List[str]] = {
+    "no": [],
+    "simple": ["spaces", "various"],
+    "extended": ["quotes", "spaces", "roman_digits", "various"],
+    "all": list(RULESETS.keys()),
+    "zpd": ["quotes", "spaces", "roman_digits", "ligatures_consonantal", "various", "punctuation"],
+}
+
+
+def _resolve(rulesets: List[str] | None, rulegroups: List[str] | None) -> List[Rule]:
+    rules: List[Rule] = []
+    for g in rulegroups or []:
+        for name in RULEGROUPS[g]:
+            rules.extend(RULESETS[name])
+    for name in rulesets or []:
+        if name == "*":
+            for rs in RULESETS.values():
+                rules.extend(rs)
+        else:
+            rules.extend(RULESETS[name])
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# Python-side (for UDF paths + unit tests; exact reference semantics)
+# ---------------------------------------------------------------------------
+
+def regularize_str(txt: str, rulesets: List[str] | None = None, rulegroups: List[str] | None = None) -> str:
+    """Apply rulesets in order (reference: text_regularizer.py:69-74)."""
+    if rulesets is None and rulegroups is None:
+        rulesets = ["spaces"]
+    for old, new, is_regex in _resolve(rulesets, rulegroups):
+        if is_regex:
+            txt = re.sub(old, new, txt)
+        else:
+            txt = txt.replace(old, new)
+    return txt
+
+
+def nfc_str(txt: str) -> str:
+    """reference: text_normalizer.py:24-28 (unicodedata.normalize NFC)."""
+    return unicodedata.normalize("NFC", txt)
+
+
+def bidi_str(txt: str, direction: str = "auto") -> str:
+    """Unicode bidi display reordering (reference wraps python-bidi,
+    basic_text_processors.py:61-67; lib absent here). Minimal re-derivation
+    of UAX#9 sufficient for L-dominant corpora: contiguous runs of
+    strong-RTL characters (and embedded neutrals) are reversed; pure-LTR
+    text is returned unchanged."""
+    def is_rtl(ch: str) -> bool:
+        return unicodedata.bidirectional(ch) in ("R", "AL", "AN")
+
+    if not any(is_rtl(c) for c in txt):
+        return txt
+    out: List[str] = []
+    run: List[str] = []
+    for ch in txt:
+        if is_rtl(ch) or (run and unicodedata.bidirectional(ch) in ("NSM", "ON", "CS", "ES")):
+            run.append(ch)
+        else:
+            out.extend(reversed(run))
+            run = []
+            out.append(ch)
+    out.extend(reversed(run))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-side (JVM, codegen'd — the scale path; no Python in the loop)
+# ---------------------------------------------------------------------------
+
+def _java_repl(repl: str) -> str:
+    """Python backrefs \\1 -> Java $1 for Spark regexp_replace."""
+    return re.sub(r"\\(\d)", r"$\1", repl)
+
+
+def regularize_column(col: Column, rulesets: List[str] | None = None,
+                      rulegroups: List[str] | None = None) -> Column:
+    """Chain of native regexp_replace/replace expressions — whole-stage
+    codegen keeps this entirely JVM-side at 100 TB scale."""
+    if rulesets is None and rulegroups is None:
+        rulesets = ["spaces"]
+    for old, new, is_regex in _resolve(rulesets, rulegroups):
+        if is_regex:
+            col = F.regexp_replace(col, old, _java_repl(new))
+        else:
+            col = F.replace(col, F.lit(old), F.lit(new))
+    return col
+
+
+def strip_column(col: Column) -> Column:
+    """reference: basic_text_processors.py:20-35 (str.strip)."""
+    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+
+def nfc_column(col: Column) -> Column:
+    """NFC normalization. Spark has no native NFC; use a pandas UDF only
+    when the corpus can contain decomposed sequences — for ASCII-clean
+    corpora this is the identity and we keep it JVM-side."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    import pandas as pd
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    return _nfc(col)

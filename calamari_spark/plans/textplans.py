@@ -1,0 +1,376 @@
+"""Text-pipeline queries over the driver `documents` table.
+
+These are the training-data-pipeline operators (boilerplate strip, language
+ID, quality scoring, token counting, fingerprinting, dedup) expressed as
+Catalyst-native plans, each with a DuckDB oracle. The strip/regularize
+semantics mirror the reference text processors
+(reference: calamari_ocr/ocr/dataset/textprocessors/basic_text_processors.py:20-35,
+text_regularizer.py + resources/rulesets/{spaces,quotes}.json), and the
+distinct-chars query is the reference's codec construction
+(reference: calamari_ocr/ocr/codec.py:65-106).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from calamari_spark.sources.tables import load_table
+
+# The spaces ruleset as applied by both engines, in order
+# (reference: resources/rulesets/spaces.json).
+_SPACES_SPARK = [(r"\s+", " "), (r"^\s+", ""), (r"\s+$", "")]
+
+
+def _regularized_col(col):
+    for pat, rep in _SPACES_SPARK:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+_REG_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),"
+    " '^\\s+', ''), '\\s+$', '')"
+)
+
+
+def q_strip_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip: whole-stage-codegen regexp chain; no shuffle at
+    all — this is a pure map over the scan and stays so at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", _regularized_col(F.col("text")).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+Q_STRIP_SQL = f"SELECT doc_id, {_REG_SQL} AS clean_text FROM documents ORDER BY doc_id"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + counts (the n_tokens feed for length
+    bucketing; reference analog: element_length_fn, data.py:88-92)."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(clean, " ")).alias("n_tokens"),
+        F.length(clean).alias("clean_chars"),
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(string_split({_REG_SQL}, ' ')) AS n_tokens,
+       length({_REG_SQL}) AS clean_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: punctuation ratio, stopword ratio, mean
+    token length, composite score. Pure map — no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    n_chars = F.length(clean)
+    n_tokens = F.size(F.split(clean, " "))
+    n_punct = n_chars - F.length(F.regexp_replace(clean, r"[.,:;?!]", ""))
+    n_the = (n_chars - F.length(F.replace(clean, F.lit("the"), F.lit("")))) / 3
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_ratio = F.round(n_the / n_tokens, 6)
+    avg_tok = F.round(n_chars / n_tokens, 6)
+    score = F.round(
+        F.when(n_tokens >= 5, 1.0).otherwise(0.2)
+        * F.when(punct_ratio < 0.2, 1.0).otherwise(0.5)
+        * F.least(F.lit(1.0), avg_tok / 4.0),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok.alias("avg_token_len"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+Q_QUALITY_SQL = f"""
+SELECT doc_id,
+       round(n_punct / n_chars, 6)  AS punct_ratio,
+       round(n_the / n_tokens, 6)   AS stopword_ratio,
+       round(n_chars / n_tokens, 6) AS avg_token_len,
+       round((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.2 END)
+             * (CASE WHEN n_punct / n_chars < 0.2 THEN 1.0 ELSE 0.5 END)
+             * least(1.0, (n_chars / n_tokens) / 4.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+         CAST(length(clean) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(clean, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(clean) - length(regexp_replace(clean, '[.,:;?!]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST((length(clean) - length(replace(clean, 'the', ''))) / 3 AS DOUBLE) AS n_the
+  FROM (SELECT doc_id, {_REG_SQL} AS clean FROM documents)
+) ORDER BY doc_id
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (deterministic, SQL-expressible
+    analog of an n-gram classifier): count per-language marker substrings,
+    argmax with fixed tie order en > es > de > unknown."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.concat(F.lit(" "), _regularized_col(F.col("text")), F.lit(" "))
+
+    def count_marker(m):
+        return (F.length(clean) - F.length(F.replace(clean, F.lit(m), F.lit("")))) / len(m)
+
+    en = count_marker(" the ") + count_marker(" is ") + count_marker(" a ")
+    es = count_marker(" el ") + count_marker(" la ") + count_marker(" de ")
+    de = count_marker(" der ") + count_marker(" und ") + count_marker(" das ")
+    pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), F.col("lang").alias("tagged_lang")
+    ).orderBy("doc_id")
+
+
+def _marker_sql(m):
+    return f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
+
+
+Q_LANGID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+            WHEN es >= de AND es > 0 THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'unknown' END AS pred_lang,
+       lang AS tagged_lang
+FROM (
+  SELECT doc_id, lang,
+         {_marker_sql(' the ')} + {_marker_sql(' is ')} + {_marker_sql(' a ')} AS en,
+         {_marker_sql(' el ')} + {_marker_sql(' la ')} + {_marker_sql(' de ')} AS es,
+         {_marker_sql(' der ')} + {_marker_sql(' und ')} + {_marker_sql(' das ')} AS de
+  FROM (SELECT doc_id, lang, ' ' || {_REG_SQL} || ' ' AS padded FROM documents)
+) ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = md5 of the normalized text (the SQL-portable
+    stand-in for a rolling hash; md5 is identical across engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.lower(_regularized_col(F.col("text")))
+    return docs.select("doc_id", F.md5(clean).alias("fingerprint")).orderBy("doc_id")
+
+
+Q_FINGERPRINT_SQL = f"SELECT doc_id, md5(lower({_REG_SQL})) AS fingerprint FROM documents ORDER BY doc_id"
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-prefix fingerprint: one shuffle on the hash;
+    keeper = min(doc_id) per group (deterministic). At 100 TB this is the
+    cheapest dedup pass and runs before any UDF stage."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.substring(F.lower(_regularized_col(F.col("text"))), 1, 24))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("fp")
+    )
+
+
+Q_EXACT_DEDUP_SQL = f"""
+SELECT fp, count(*) AS group_size, min(doc_id) AS keeper
+FROM (SELECT doc_id, md5(substring(lower({_REG_SQL}), 1, 24)) AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+
+
+def q_distinct_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec construction: distinct chars over the corpus
+    (reference: codec.py:65-106) — explode + distinct, sorted."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .orderBy("ch")
+    )
+
+
+Q_DISTINCT_CHARS_SQL = """
+SELECT DISTINCT ch FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+WHERE ch != '' ORDER BY ch
+"""
+
+
+def q_reassemble_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline's relational skeleton run on the flat driver
+    table: split text into ordered word-spans, per-span map, then ordered
+    reassembly per document. In the real pipeline this is
+    posexplode(spans) ... collect_list(struct(offset, ...)) with salting;
+    here it proves order-correct reassembly against the SQL oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    spans = docs.select(
+        "doc_id", F.posexplode(F.split(_regularized_col(F.col("text")), " ")).alias("pos", "word")
+    )
+    mapped = spans.withColumn("word", F.upper(F.col("word")))
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("reassembled")
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_REASSEMBLE_SQL = f"""
+SELECT doc_id, string_agg(upper(word), ' ' ORDER BY pos) AS reassembled
+FROM (
+  SELECT doc_id,
+         unnest(string_split(clean, ' ')) AS word,
+         generate_subscripts(string_split(clean, ' '), 1) AS pos
+  FROM (SELECT doc_id, {_REG_SQL} AS clean FROM documents)
+)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluator join+aggregate (reference: evaluator.py:205-261 +
+    model.py:53-66): gt = clean text, pred = seeded corruption (drop all
+    'a', 'o'->'0'); per-line levenshtein; avg_ler = sum(errs)/sum(chars)."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    gt = docs.select("doc_id", clean.alias("gt"))
+    pred = docs.select(
+        "doc_id",
+        F.replace(F.replace(clean, F.lit("a"), F.lit("")), F.lit("o"), F.lit("0")).alias("pred"),
+    )
+    joined = gt.join(pred, "doc_id")  # id-equi-join, evaluator.py:239-249
+    per_line = joined.select(
+        "doc_id",
+        F.length("gt").alias("chars"),
+        F.levenshtein("gt", "pred").alias("errs"),
+    )
+    return per_line.agg(
+        F.count(F.lit(1)).alias("total_instances"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("errs").alias("total_char_errs"),
+        F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
+    )
+
+
+Q_CER_SQL = f"""
+SELECT count(*) AS total_instances,
+       sum(chars) AS total_chars,
+       sum(errs) AS total_char_errs,
+       round(CAST(sum(errs) AS DOUBLE) / sum(chars), 6) AS avg_ler
+FROM (
+  SELECT g.doc_id, length(g.gt) AS chars, levenshtein(g.gt, p.pred) AS errs
+  FROM (SELECT doc_id, {_REG_SQL} AS gt FROM documents) g
+  JOIN (SELECT doc_id, replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred FROM documents) p
+  ON g.doc_id = p.doc_id
+)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup: word-3-gram shingles, self-join on shared
+    shingle, Jaccard = |inter| / (|A|+|B|-|inter|). The shingle join is the
+    scale-out trick: only docs sharing >=1 shingle ever meet (vs O(n^2)
+    cross join), and stop-shingles occurring in > MAX_DF docs are dropped
+    first — without the cap one hot shingle at 10^12 docs creates a
+    quadratic join partition (the classic skew blow-up)."""
+    MAX_DF = 100
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    words = docs.select("doc_id", F.split(clean, " ").alias("w"))
+    n = F.size("w") - 2
+    raw_shingles = (
+        words.filter(n > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    rare = (
+        raw_shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("sh")
+    )
+    shingles = raw_shingles.join(rare, "sh", "left_semi")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH words AS (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents),
+raw_shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words WHERE len(w) >= 3)
+),
+shingles AS (
+  SELECT doc_id, sh FROM raw_shingles
+  WHERE sh IN (SELECT sh FROM raw_shingles GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+TEXT_QUERIES = {
+    "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
+    "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "q_quality_score": (q_quality_score, Q_QUALITY_SQL),
+    "q_langid": (q_langid, Q_LANGID_SQL),
+    "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "q_exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
+    "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
+    "q_reassemble_spans": (q_reassemble_spans, Q_REASSEMBLE_SQL),
+    "q_cer_eval": (q_cer_eval, Q_CER_SQL),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
+}
