@@ -1,0 +1,283 @@
+"""CTC decoders: greedy, alternatives extraction, prefix beam search,
+and Graves token passing.
+
+Semantics re-derived from the reference decoders
+(reference: calamari_ocr/ocr/model/ctcdecoder/default_ctc_decoder.py:13-28,
+ctc_decoder.py:87-137, token_passing_ctc_decoder.py:92-179,
+ctcwordbeamsearchdecoder.py + thirdparty/ctcwordbeamsearch). The blank
+label is index 0 throughout (reference convention, codec.py:120-129).
+
+All of these run per line *inside* Arrow-batched pandas UDFs; the numpy
+work is vectorized per call (argmax / run-length collapse over the whole
+probability matrix at once).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from calamari_spark.operators.predtypes import PredChar, PredPos, Prediction
+
+DEFAULT_THRESHOLD = 1e-4
+
+
+def greedy_labels(probabilities: np.ndarray, blank: int = 0) -> List[Tuple[int, int, int]]:
+    """Per-frame argmax, collapse adjacent repeats, drop blanks; returns
+    [(label, start_frame, end_frame_exclusive)]
+    (reference: default_ctc_decoder.py:13-28). Vectorized: run boundaries
+    via np.diff instead of a per-frame Python loop."""
+    if probabilities.size == 0:
+        return []
+    chars = np.argmax(probabilities, axis=1)
+    # run-length encode
+    boundaries = np.flatnonzero(np.diff(chars)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(chars)]))
+    out = []
+    for s, e in zip(starts, ends):
+        c = int(chars[s])
+        if c != blank:
+            out.append((c, int(s), int(e)))
+    return out
+
+
+def find_alternatives(
+    probabilities: np.ndarray,
+    sentence: List[Tuple[int, int, int]],
+    threshold: float = DEFAULT_THRESHOLD,
+) -> Prediction:
+    """Per decoded char, max softmax over its frame range; attach all
+    alternative labels with p >= threshold, sorted by p descending (ties:
+    higher label first — matching the reference's reversed stable sort,
+    ctc_decoder.py:118-128); avg_char_probability = mean top-char p
+    (reference: ctc_decoder.py:100-137)."""
+    pred = Prediction()
+    pred.labels = [c for c, _, _ in sentence]
+    pred.logits = probabilities
+    pred.avg_char_probability = 0.0
+    for c, start, end in sentence:
+        p = np.max(probabilities[start:end], axis=0)
+        pos = PredPos(local_start=start, local_end=end)
+        pred.positions.append(pos)
+        for label in reversed(sorted(range(len(p)), key=lambda v: p[v])):
+            if p[label] < threshold and len(pos.chars) > 0:
+                break
+            pos.chars.append(PredChar(label=int(label), probability=float(p[label])))
+        if pos.chars:
+            pred.avg_char_probability += pos.chars[0].probability
+    pred.avg_char_probability /= len(pred.positions) if pred.positions else 1
+    return pred
+
+
+def greedy_decode(
+    probabilities: np.ndarray, blank: int = 0, threshold: float = 0.0
+) -> Prediction:
+    """Greedy decode + alternatives (the reference's DefaultCTCDecoder)."""
+    thr = threshold if threshold > 0 else DEFAULT_THRESHOLD
+    return find_alternatives(probabilities, greedy_labels(probabilities, blank), thr)
+
+
+# ---------------------------------------------------------------------------
+# Prefix beam search (optionally dictionary-constrained via a prefix tree)
+# ---------------------------------------------------------------------------
+
+class PrefixTree:
+    """Minimal prefix tree over label sequences for constrained decoding
+    (reference analog: thirdparty/ctcwordbeamsearch/PrefixTree.py)."""
+
+    __slots__ = ("children", "is_word")
+
+    def __init__(self):
+        self.children: Dict[int, "PrefixTree"] = {}
+        self.is_word = False
+
+    def add(self, labels: Sequence[int]) -> None:
+        node = self
+        for l in labels:
+            node = node.children.setdefault(l, PrefixTree())
+        node.is_word = True
+
+    def next_labels(self, labels: Sequence[int]) -> Optional[set]:
+        node = self
+        for l in labels:
+            node = node.children.get(l)
+            if node is None:
+                return set()
+        return set(node.children.keys())
+
+
+def prefix_beam_decode(
+    probabilities: np.ndarray,
+    blank: int = 0,
+    beam_width: int = 25,
+    prefix_tree: Optional[PrefixTree] = None,
+    word_separator_label: Optional[int] = None,
+) -> List[int]:
+    """Standard CTC prefix beam search (Hannun et al. 2014; the reference
+    wraps the word-beam-search variant, ctcwordbeamsearchdecoder.py:9-26).
+    With a prefix_tree, only labels extending a dictionary word (or the
+    word separator after a complete word) may be appended. Returns the best
+    label sequence."""
+    T, C = probabilities.shape
+    # beams: prefix tuple -> (p_blank, p_non_blank)
+    beams: Dict[Tuple[int, ...], Tuple[float, float]] = {(): (1.0, 0.0)}
+    for t in range(T):
+        row = probabilities[t]
+        new: Dict[Tuple[int, ...], List[float]] = defaultdict(lambda: [0.0, 0.0])
+        for prefix, (pb, pnb) in beams.items():
+            ptot = pb + pnb
+            # extend by blank
+            new[prefix][0] += row[blank] * ptot
+            # repeat last label (stays same prefix, non-blank path)
+            if prefix:
+                new[prefix][1] += row[prefix[-1]] * pnb
+            # allowed extensions
+            if prefix_tree is not None:
+                cur_word_start = 0
+                if word_separator_label is not None:
+                    for i in range(len(prefix) - 1, -1, -1):
+                        if prefix[i] == word_separator_label:
+                            cur_word_start = i + 1
+                            break
+                cur_word = prefix[cur_word_start:]
+                allowed = prefix_tree.next_labels(cur_word)
+                node = prefix_tree
+                complete = True
+                for l in cur_word:
+                    node = node.children.get(l)
+                    if node is None:
+                        complete = False
+                        break
+                if complete and node.is_word and word_separator_label is not None:
+                    allowed = set(allowed) | {word_separator_label}
+            else:
+                allowed = None
+            for c in range(C):
+                if c == blank:
+                    continue
+                if allowed is not None and c not in allowed:
+                    continue
+                ext = prefix + (c,)
+                if prefix and c == prefix[-1]:
+                    # same label: only via the blank path
+                    new[ext][1] += row[c] * pb
+                else:
+                    new[ext][1] += row[c] * ptot
+        beams = dict(
+            sorted(new.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:beam_width]
+        )
+        beams = {k: (v[0], v[1]) for k, v in beams.items()}
+    def word_complete(prefix: Tuple[int, ...]) -> bool:
+        if prefix_tree is None:
+            return True
+        start = 0
+        if word_separator_label is not None:
+            for i in range(len(prefix) - 1, -1, -1):
+                if prefix[i] == word_separator_label:
+                    start = i + 1
+                    break
+        cur = prefix[start:]
+        if not cur:
+            return True
+        node = prefix_tree
+        for l in cur:
+            node = node.children.get(l)
+            if node is None:
+                return False
+        return node.is_word
+
+    # termination: prefer beams ending on a complete dictionary word
+    # (the word-constrained semantics of the reference's WordBeamSearch)
+    complete = {k: v for k, v in beams.items() if word_complete(k)}
+    pool = complete or beams
+    best = max(pool.items(), key=lambda kv: kv[1][0] + kv[1][1])[0]
+    return list(best)
+
+
+# ---------------------------------------------------------------------------
+# Graves token passing (dictionary decoding)
+# ---------------------------------------------------------------------------
+
+def _log(v: float) -> float:
+    return math.log(v) if v > 0 else float("-inf")
+
+
+def token_passing_decode(
+    probabilities: np.ndarray,
+    charset: Sequence[str],
+    dictionary: Sequence[str],
+    blank: int = -1,
+    word_separator: str = " ",
+) -> str:
+    """Graves token-passing DP over words x states x time (Graves
+    dissertation pp. 67-69; reference: token_passing_ctc_decoder.py:92-179).
+    Returns the best word sequence joined by ``word_separator``."""
+    if blank < 0:
+        blank = len(charset)
+    T = probabilities.shape[0]
+    words = []
+    for w in dictionary:
+        try:
+            words.append([charset.index(c) for c in w])
+        except ValueError:
+            words.append(None)
+    prime = [None if w is None else _with_blanks(w, blank) for w in words]
+    NEG = (float("-inf"), ())
+    # tok[w][s] at current/previous t; s in 0..len(prime_w); -1 == end
+    n_words = len(words)
+
+    prev: List[Dict[int, Tuple[float, tuple]]] = [dict() for _ in range(n_words)]
+    for wi, w in enumerate(words):
+        if w is None:
+            continue
+        d = {s: NEG for s in range(0, len(prime[wi]) + 1)}
+        d[-1] = NEG
+        d[1] = (_log(probabilities[0, blank]), (wi,))
+        d[2] = (_log(probabilities[0, w[0]]), (wi,))
+        if len(w) == 1:
+            d[-1] = d[2]
+        prev[wi] = d
+
+    for t in range(1, T):
+        order = sorted(range(n_words), key=lambda wi: prev[wi].get(-1, NEG)[0])
+        best_wi = order[-1]
+        best_end = prev[best_wi].get(-1, NEG)
+        best_prime = prime[best_wi]
+        cur: List[Dict[int, Tuple[float, tuple]]] = [dict() for _ in range(n_words)]
+        for wi in order:
+            if words[wi] is None:
+                continue
+            wp = prime[wi]
+            d = {}
+            d[0] = (best_end[0], best_end[1] + (wi,))
+            for s in range(1, len(wp) + 1):
+                if s == 1:
+                    cands = [prev[wi].get(1, NEG), d[0]]
+                else:
+                    cands = [prev[wi].get(s, NEG), prev[wi].get(s - 1, NEG)]
+                    if s == 2 and best_prime is not None and best_prime[-2] != wp[1]:
+                        cands.append(d[0])
+                if wp[s - 1] != blank and s > 2 and wp[s - 3] != wp[s - 1]:
+                    cands.append(prev[wi].get(s - 2, NEG))
+                best = max(cands, key=lambda x: x[0])
+                d[s] = (best[0] + _log(probabilities[t, wp[s - 1]]), best[1])
+            d[-1] = max((d[len(wp)], d[len(wp) - 1]), key=lambda x: x[0])
+            cur[wi] = d
+        prev = cur
+
+    # tie-break to the largest word index (the reference's stable ascending
+    # sort + take-last, token_passing_ctc_decoder.py:170-171)
+    best_wi = max(range(n_words), key=lambda wi: (prev[wi].get(-1, NEG)[0], wi))
+    history = prev[best_wi].get(-1, NEG)[1]
+    return word_separator.join(dictionary[i] for i in history)
+
+
+def _with_blanks(labels: Sequence[int], blank: int) -> List[int]:
+    out = [blank]
+    for l in labels:
+        out.extend((l, blank))
+    return out
