@@ -37,6 +37,12 @@ class TemplateRecognizer:
             norm = np.linalg.norm(t)
             templates[i] = t / (norm + 1e-6)
         self.templates = templates
+        # all templates as one [GLYPH_H*GLYPH_W, n] matrix so the window
+        # correlation is a single GEMM instead of one matvec per template
+        self.template_labels = np.array(sorted(templates), dtype=np.int64)
+        self.template_matrix = np.stack(
+            [templates[l].ravel() for l in self.template_labels], axis=1
+        ) if templates else np.zeros((GLYPH_H * GLYPH_W, 0), dtype=np.float32)
 
     def pooled_scores(self, img: np.ndarray) -> np.ndarray | None:
         """uint8 [H, W] grayscale (ink dark) -> pooled correlation scores
@@ -52,13 +58,14 @@ class TemplateRecognizer:
         n_y = H - GLYPH_H + 1
         n_x = W - GLYPH_W + 1
         scores = np.zeros((W, classes), dtype=np.float32)
-        # sliding windows [n_y, n_x, GLYPH_H * GLYPH_W]
+        # sliding windows [n_y * n_x, GLYPH_H * GLYPH_W]
         win = np.lib.stride_tricks.sliding_window_view(ink, (GLYPH_H, GLYPH_W))
-        flat = win.reshape(n_y, n_x, -1)
-        norms = np.linalg.norm(flat, axis=-1) + 1e-6
-        for label, t in self.templates.items():
-            corr = (flat @ t.ravel()) / norms  # normalized cross-correlation
-            scores[:n_x, label] = corr.max(axis=0)
+        flat = win.reshape(n_y * n_x, -1)
+        norms = np.sqrt((flat * flat).sum(axis=-1)) + 1e-6
+        # one GEMM against every template: normalized cross-correlation
+        corr = (flat @ self.template_matrix) / norms[:, None]
+        best_y = corr.reshape(n_y, n_x, -1).max(axis=0)
+        scores[:n_x, self.template_labels] = best_y
         # pool columns into STRIDE-wide time buckets (max per char) so an
         # exact-alignment peak is never missed by subsampling
         T = int(np.ceil(W / STRIDE))

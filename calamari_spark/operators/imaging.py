@@ -136,15 +136,15 @@ def _gauss_kernel(sigma: float, size: int | None = None) -> np.ndarray:
 
 def _conv1d(arr: np.ndarray, kernel: np.ndarray, axis: int, mode: str) -> np.ndarray:
     """1-D correlation along ``axis`` with 'constant' (zero) or 'reflect'
-    border handling."""
+    border handling. Vectorized: sliding windows along the axis reduce to
+    one matvec over the window dimension (no per-slice Python loop)."""
     r = len(kernel) // 2
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (r, len(kernel) - 1 - r)
     padded = np.pad(arr, pad, mode="reflect" if mode == "reflect" else "constant")
-    out = np.apply_along_axis(
-        lambda v: np.convolve(v, kernel[::-1], mode="valid"), axis, padded
-    )
-    return out
+    win = np.lib.stride_tricks.sliding_window_view(padded, len(kernel), axis=axis)
+    out = win @ kernel  # correlation: sum_j v[i+j] * k[j]
+    return np.moveaxis(out, -1, axis) if out.ndim != arr.ndim else out
 
 
 def gaussian_blur(img: np.ndarray, sigma_x: float, sigma_y: float) -> np.ndarray:
@@ -156,12 +156,25 @@ def gaussian_blur(img: np.ndarray, sigma_x: float, sigma_y: float) -> np.ndarray
     return out
 
 
+def _box1d(arr: np.ndarray, taps: int, axis: int) -> np.ndarray:
+    """Zero-border moving average along ``axis`` via cumulative sums —
+    O(n) regardless of window width (box kernels here are image-sized)."""
+    r = taps // 2
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (r + 1, taps - 1 - r)
+    padded = np.pad(arr, pad, mode="constant")
+    cs = np.cumsum(padded, axis=axis)
+    hi = np.take(cs, np.arange(taps, taps + arr.shape[axis]), axis=axis)
+    lo = np.take(cs, np.arange(arr.shape[axis]), axis=axis)
+    return (hi - lo) / taps
+
+
 def box_blur(img: np.ndarray, ksize: Tuple[int, int]) -> np.ndarray:
     """Box filter with zero border; ksize=(width, height)."""
     kw, kh = max(1, ksize[0]), max(1, ksize[1])
     out = img.astype(np.float64)
-    out = _conv1d(out, np.full(kh, 1.0 / kh), axis=0, mode="constant")
-    out = _conv1d(out, np.full(kw, 1.0 / kw), axis=1, mode="constant")
+    out = _box1d(out, kh, axis=0)
+    out = _box1d(out, kw, axis=1)
     return out
 
 

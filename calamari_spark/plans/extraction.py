@@ -195,7 +195,18 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
 
 
 def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
-    """mapInPandas OCR stage over (doc_id, offset, media_ref, png)."""
+    """mapInPandas OCR stage over (doc_id, offset, media_ref, png).
+
+    The stage is compute-bound (~15 ms/line), not byte-bound, so AQE's
+    byte-based coalescing is the wrong heuristic here — at small inputs it
+    would collapse the exchange to one partition and serialize the OCR.
+    An explicit hash repartition on the unique media_ref pins the stage's
+    parallelism to the cluster's cores (user-specified repartitions are
+    exempt from AQE coalescing); at 100 TB the same repartition is what
+    balances compute across executors."""
+    spark = media_with_spans.sparkSession
+    n_part = spark.sparkContext.defaultParallelism * 2
+    media_with_spans = media_with_spans.repartition(n_part, "media_ref")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
