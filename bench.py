@@ -69,7 +69,7 @@ def main() -> None:
     if scaling:
         from calamari_spark.plans.bench_scaling import run_scaling
 
-        out = run_scaling(SF_DIR)
+        out = run_scaling()  # dedicated scaling corpus (sized for per-core work)
         print(json.dumps(out))
         return
 

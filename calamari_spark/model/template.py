@@ -43,6 +43,15 @@ class TemplateRecognizer:
         self.template_matrix = np.stack(
             [templates[l].ravel() for l in self.template_labels], axis=1
         ) if templates else np.zeros((GLYPH_H * GLYPH_W, 0), dtype=np.float32)
+        # empty margin rows shared by every template: an exactly-aligned
+        # window extends this far beyond the ink band (crop must keep them)
+        if templates:
+            stack = np.stack(list(templates.values()))
+            ink_rows = np.flatnonzero(stack.max(axis=(0, 2)) > 0)
+            self.top_margin = int(ink_rows[0])
+            self.bot_margin = GLYPH_H - 1 - int(ink_rows[-1])
+        else:
+            self.top_margin = self.bot_margin = 0
 
     def pooled_scores(self, img: np.ndarray) -> np.ndarray | None:
         """uint8 [H, W] grayscale (ink dark) -> pooled correlation scores
@@ -52,6 +61,16 @@ class TemplateRecognizer:
         if img.size == 0 or img.ndim != 2 or img.shape[0] < GLYPH_H or img.shape[1] < GLYPH_W:
             return None
         ink = 1.0 - img.astype(np.float32) / 255.0
+        # crop to the ink's vertical band plus the templates' empty margins
+        # (x positions are unaffected): sweeping windows over blank margin
+        # rows is pure waste, but an exactly-aligned window still needs the
+        # template's own empty top/bottom rows inside the crop
+        row_has_ink = np.flatnonzero(ink.max(axis=1) > 0.02)
+        if row_has_ink.size:
+            lo = max(0, int(row_has_ink[0]) - self.top_margin)
+            hi = min(ink.shape[0], int(row_has_ink[-1]) + 1 + self.bot_margin)
+            if hi - lo >= GLYPH_H:
+                ink = ink[lo:hi]
         H, W = ink.shape
         classes = len(self.charset)
         # column-window correlations at every x, best vertical alignment

@@ -59,11 +59,22 @@ def find_alternatives(
     pred.labels = [c for c, _, _ in sentence]
     pred.logits = probabilities
     pred.avg_char_probability = 0.0
-    for c, start, end in sentence:
-        p = np.max(probabilities[start:end], axis=0)
+    if sentence:
+        # vectorized over all decoded positions: frame-range max + one
+        # argsort per position (stable mergesort on -p ties like the
+        # reference's reversed stable sort: higher label first on ties)
+        pmax = np.stack(
+            [np.max(probabilities[s:e], axis=0) for _, s, e in sentence]
+        )
+        # stable argsort over the label-reversed array: p descending with
+        # ties going to the higher label, exactly the reference order
+        C = pmax.shape[1]
+        order = (C - 1) - np.argsort(-pmax[:, ::-1], axis=1, kind="stable")
+    for i, (c, start, end) in enumerate(sentence):
+        p = pmax[i]
         pos = PredPos(local_start=start, local_end=end)
         pred.positions.append(pos)
-        for label in reversed(sorted(range(len(p)), key=lambda v: p[v])):
+        for label in order[i]:
             if p[label] < threshold and len(pos.chars) > 0:
                 break
             pos.chars.append(PredChar(label=int(label), probability=float(p[label])))

@@ -51,8 +51,10 @@ FIXTURE_ROOT = os.path.join(REPO_ROOT, "fixtures", "interleaved")
 CACHE_ROOT = os.path.join(REPO_ROOT, ".data", "interleaved")
 
 # docs per scale factor: committed fixtures for the oracle SFs (0.001 smoke,
-# 0.01 correctness gate), generated-on-demand cache for bench SFs
-N_DOCS = {"0.001": 24, "0.01": 96, "0.1": 768}
+# 0.01 correctness gate), generated-on-demand cache for bench SFs; the
+# dedicated "scaling" corpus is sized so per-core OCR work dominates fixed
+# session overheads in the strong-scaling measurement
+N_DOCS = {"0.001": 24, "0.01": 96, "0.1": 768, "scaling": 6144}
 COMMITTED_SFS = ("0.001", "0.01")
 
 TEXT_RULESETS = ["quotes", "spaces"]  # the boilerplate-strip chain
@@ -61,7 +63,9 @@ SEQ_SEP = "\x1f"  # unit separator for the flattened span-sequence oracle
 
 
 def sf_of(sf_dir: str) -> str:
-    tail = sf_dir.rstrip("/").split("sf")[-1]
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if tail.startswith("sf"):
+        tail = tail[2:]
     return tail if tail in N_DOCS else "0.01"
 
 
@@ -133,7 +137,6 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
     """Full per-line recognize path. Returns (sentence, avg_conf, positions)."""
     from calamari_spark.model.template import STRIDE
     from calamari_spark.operators.ctc import greedy_decode
-    from calamari_spark.operators.imaging import preprocess_line
     from calamari_spark.operators.vote import (
         make_out_to_in,
         map_global_positions,
@@ -144,10 +147,12 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
     codec, recs = _get_recognizers(n_folds)
     img = decode_png(bytes(png))
 
-    # preprocessing chain (meta feeds the inverse coordinate transform;
-    # reference: default_image_processors.py:17-21)
-    processed, meta = preprocess_line(img)
-    out_len_proc = processed.shape[0]  # noqa: F841 (CNN path uses this)
+    # The template recognizer is translation-invariant (it slides over the
+    # full vertical band), so it consumes the raw line directly and its
+    # position map is the identity transform; the center-normalize + scale
+    # preprocessing chain runs in the CNN path (x_extract_cnn), which
+    # genuinely needs the dewarped fixed-height tensor and its inverse
+    # transform meta (reference: default_image_processors.py:17-21).
 
     # fold-independent correlation once; per-fold softmax is cheap
     pooled = recs[0].pooled_scores(img)

@@ -25,6 +25,12 @@ def get_spark(
 
     cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS or *.
     """
+    # one BLAS thread per task: executor slots are the parallelism unit;
+    # nested BLAS threading oversubscribes cores and adds sync jitter to
+    # the small per-image GEMMs (workers inherit the driver env in local
+    # mode; on a cluster set the same via spark.executorEnv.*)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"

@@ -80,12 +80,14 @@ def make_sentence(rng: np.random.RandomState, n_words: int) -> str:
     return " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(n_words))
 
 
-def gen_document(doc_idx: int, corpus: str = "main", skew_tail: bool = True
-                 ) -> Tuple[str, List[dict], List[dict]]:
+def gen_document(doc_idx: int, corpus: str = "main", skew_tail: bool = True,
+                 with_media: bool = True) -> Tuple[str, List[dict], List[dict]]:
     """One document: (doc_id, spans, media_rows).
 
     ~1% of docs get 500-2000 spans (skew tail exercising salted
-    reassembly, FIXTURES.md §1); others 3-40 spans.
+    reassembly, FIXTURES.md §1); others 3-40 spans. ``with_media=False``
+    skips the (expensive) rendering but draws the identical RNG sequence,
+    so the spans pass and the media pass stay in lockstep.
     """
     rng = _rng(corpus, doc_idx)
     doc_id = f"doc_{doc_idx:09d}"
@@ -99,17 +101,19 @@ def gen_document(doc_idx: int, corpus: str = "main", skew_tail: bool = True
             ref = f"{doc_id}_m{off:05d}"
             gt = make_sentence(rng, int(rng.randint(2, 7)))
             warp = float(rng.rand() * 3.0)
-            img = render_line(gt, warp_amp=warp, warp_freq=0.01 + 0.02 * rng.rand(),
-                              height=int(rng.randint(30, 50)))
-            media_rows.append(
-                {
-                    "media_ref": ref,
-                    "png": encode_png(img),
-                    "gt": gt,
-                    "width": int(img.shape[1]),
-                    "height": int(img.shape[0]),
-                }
-            )
+            freq = 0.01 + 0.02 * rng.rand()
+            height = int(rng.randint(30, 50))
+            if with_media:
+                img = render_line(gt, warp_amp=warp, warp_freq=freq, height=height)
+                media_rows.append(
+                    {
+                        "media_ref": ref,
+                        "png": encode_png(img),
+                        "gt": gt,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                    }
+                )
             spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": off})
         else:  # text span with boilerplate noise
             core = make_sentence(rng, int(rng.randint(3, 12)))
@@ -133,7 +137,8 @@ def generate_corpus(spark: SparkSession, n_docs: int, corpus: str = "main",
         for b in batches:
             rows = []
             for i in b["id"]:
-                doc_id, spans, _ = gen_document(int(i), corpus, skew_tail)
+                doc_id, spans, _ = gen_document(int(i), corpus, skew_tail,
+                                                with_media=False)
                 rows.append({"doc_id": doc_id, "spans": spans})
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 

@@ -42,7 +42,10 @@ def _normalize(rows, colnames):
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
     fn, sql = QUERIES[name]
-    sdf = fn(spark, SF_DIR)
+    # extraction oracles embed the committed sf0.01 fixture path (the SF the
+    # driver runs oracles at), so their Spark side must run at sf0.01 too
+    sf_dir = "/root/testdata/sf0.01" if name.startswith("x_") else SF_DIR
+    sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
