@@ -69,14 +69,19 @@ def sf_of(sf_dir: str) -> str:
     return tail if tail in N_DOCS else "0.01"
 
 
+def interleaved_dir_path(sf_dir: str) -> str:
+    sf = sf_of(sf_dir)
+    root = FIXTURE_ROOT if sf in COMMITTED_SFS else CACHE_ROOT
+    return os.path.join(root, f"sf{sf}")
+
+
 def interleaved_dir(spark: SparkSession, sf_dir: str) -> str:
     """Path holding {documents_spans,line_images}.parquet for this SF;
     committed under fixtures/ for oracle SFs, generated into .data/
     otherwise. Generation is deterministic (sha256-seeded), so any
     materialization of the same SF is value-identical."""
     sf = sf_of(sf_dir)
-    root = FIXTURE_ROOT if sf in COMMITTED_SFS else CACHE_ROOT
-    out = os.path.join(root, f"sf{sf}")
+    out = interleaved_dir_path(sf_dir)
     if not os.path.exists(os.path.join(out, "documents_spans.parquet")):
         from calamari_spark.sources.synth import write_corpus
 
