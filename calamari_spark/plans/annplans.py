@@ -107,7 +107,124 @@ ORDER BY id_a, id_b
 """
 
 
+IVF_CELLS = 8     # coarse centroids = vec_id in [100, 108)
+IVF_NPROBE = 2    # cells probed per query
+IVF_CENTROID_BASE = 100
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: the 100 TB scale path for q_ann_cosine_topk.
+
+    Build: every vector is assigned to its nearest of ``IVF_CELLS`` coarse
+    centroids (a broadcast of 8 rows — one scan, no self-join). Search:
+    each query probes its ``IVF_NPROBE`` nearest cells and ranks only those
+    candidates. At 10^12 vectors the assignment is the partition key
+    (cluster-pruned scan); recall < 1 by construction — the brute-force
+    twin above is the exactness baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE)
+        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_CELLS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+
+    def cos(a, b):
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    # nearest cell per vector (ties -> lower centroid id)
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "c_cos", cos(F.col("embedding"), F.col("c_emb"))
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cent_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+    queries = assign.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # nprobe nearest cells per query
+    q_cells = (
+        queries.join(F.broadcast(cents))
+        .withColumn("c_cos", cos(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("c_cos"), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    cand = q_cells.join(
+        assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e"), "cent_id"),
+        "cent_id",
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    ranked = cand.withColumn("cosine", cos(F.col("q_emb"), F.col("e"))).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS c_emb FROM e
+  WHERE vec_id >= {IVF_CENTROID_BASE} AND vec_id < {IVF_CENTROID_BASE + IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT e.vec_id, e.emb, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.emb, c.c_emb) /
+                      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+                      c.cent_id
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+q_cells AS (
+  SELECT query_id, q_emb, cent_id FROM (
+    SELECT a.vec_id AS query_id, a.emb AS q_emb, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.emb, c.c_emb) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+                      c.cent_id
+           ) AS rn
+    FROM assign a, cents c
+    WHERE a.vec_id < {N_QUERY_VECS}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ranked AS (
+  SELECT q.query_id, a.vec_id AS cand_id,
+         list_dot_product(q.q_emb, a.emb) /
+         (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.q_emb, a.emb) /
+                    (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+                    a.vec_id
+         ) AS rank
+  FROM q_cells q JOIN assign a ON a.cent_id = q.cent_id
+  WHERE a.vec_id != q.query_id
+)
+SELECT query_id, cand_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 ANN_QUERIES = {
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_NEARDUP_SQL),
+    "q_ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
 }

@@ -1,0 +1,227 @@
+"""MinHash-LSH and SimHash near-duplicate detection over `documents`.
+
+Both use md5 as the shared hash primitive because Spark and DuckDB compute
+identical md5 hex strings — every stage is therefore DuckDB-oracle-able,
+value-for-value. At 10^12 docs these are the standard scale paths:
+
+* MinHash-LSH: shingle -> K min-hashes -> band keys -> bucket join. Only
+  docs sharing a band bucket ever meet (candidate generation is linear in
+  corpus size + bucket sizes), versus the O(n^2) cross join.
+* SimHash: one 16-bit signature per document from word-level md5 bit
+  votes; equal-signature buckets are near-dup candidates.
+
+Shingling matches q_ngram_jaccard_pairs (word 3-grams over the regularized
+text) so the two methods are comparable on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calamari_spark.plans.textplans import _REG_SQL, _regularized_col
+from calamari_spark.sources.tables import load_table
+
+N_HASHES = 8      # minhash signature length
+BAND_ROWS = 2     # rows per LSH band -> N_HASHES/BAND_ROWS bands
+MIN_SIM = 0.5     # emit pairs with signature similarity >= this
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    words = docs.select("doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w"))
+    n = F.size("w") - 2
+    return (
+        words.filter(n > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + banded LSH candidate join.
+
+    One shuffle builds signatures (groupBy doc), one shuffle buckets bands,
+    one joins candidates back to signatures. No cross join anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingles(docs)
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("minhash_sim", F.round(matches / F.lit(N_HASHES), 6))
+        .filter(F.col("minhash_sim") >= MIN_SIM)
+        .select("doc_a", "doc_b", "minhash_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    hash_cols = ",\n         ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_rows = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+        )
+        for b in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {hash_cols}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band, key
+  FROM sig, (VALUES {band_rows}) AS v(band, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({matches}) / {N_HASHES}.0, 6) AS minhash_sim
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({matches}) / {N_HASHES}.0 >= {MIN_SIM}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from word-level md5 bit votes: bit j is
+    1 iff more (distinct) words vote 1 than 0 at position j. One groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(_regularized_col(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "").distinct()
+    h = F.md5(F.col("word"))
+    # bit j = bit (3 - j%4) of hex digit j//4
+    votes = words.select(
+        "doc_id",
+        *[
+            (
+                (
+                    F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
+                    .bitwiseAND(F.lit(1 << (3 - j % 4)))
+                    > 0
+                ).cast("int")
+                * 2
+                - 1
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    simhash = sum(
+        (F.col(f"s{j}") > 0).cast("int") * F.lit(1 << (SIMHASH_BITS - 1 - j))
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", simhash.cast("int").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    vote_cols = ",\n           ".join(
+        f"CASE WHEN (CAST(('0x' || substring(h, {1 + j // 4}, 1)) AS INTEGER)"
+        f" & {1 << (3 - j % 4)}) > 0 THEN 1 ELSE -1 END AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sums = ", ".join(f"sum(v{j}) AS s{j}" for j in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split({_REG_SQL}, ' ')) AS word FROM documents)
+  WHERE word != ''
+),
+votes AS (
+  SELECT doc_id,
+           {vote_cols}
+  FROM (SELECT doc_id, md5(word) AS h FROM words)
+),
+agg AS (SELECT doc_id, {sums} FROM votes GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+DEDUP_QUERIES = {
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_oracle()),
+    "q_simhash": (q_simhash, _simhash_oracle()),
+}

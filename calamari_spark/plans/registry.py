@@ -18,16 +18,16 @@ def _register_all() -> None:
     from calamari_spark.plans.relational import RELATIONAL_QUERIES
     from calamari_spark.plans.textplans import TEXT_QUERIES
     from calamari_spark.plans.annplans import ANN_QUERIES
+    from calamari_spark.plans.dedup import DEDUP_QUERIES
 
-    for group in (RELATIONAL_QUERIES, TEXT_QUERIES, ANN_QUERIES):
+    for group in (RELATIONAL_QUERIES, TEXT_QUERIES, ANN_QUERIES, DEDUP_QUERIES):
         QUERIES.update(group)
 
-    try:  # extraction-pipeline queries land as they are implemented
-        from calamari_spark.plans.extraction import EXTRACTION_QUERIES
+    from calamari_spark.plans.extraction import EXTRACTION_QUERIES
+    from calamari_spark.plans.mediaplans import MEDIA_QUERIES
 
-        QUERIES.update(EXTRACTION_QUERIES)
-    except ImportError:
-        pass
+    QUERIES.update(EXTRACTION_QUERIES)
+    QUERIES.update(MEDIA_QUERIES)
 
 
 _register_all()
