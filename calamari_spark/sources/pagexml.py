@@ -1,0 +1,159 @@
+"""PAGE-XML container support (read lines + coords, write predictions back).
+
+Re-derivation of the reference's PageXML dataset reader/writer semantics
+(reference: calamari_ocr/ocr/dataset/datareader/pagexml/reader.py:46-178
+scan, :398-429 + :540-628 store-back) on the public PAGE-XML standard
+(PRImA PcGts). The Spark shape: XML strings are rows of a DataFrame; the
+parse runs inside ``mapInPandas`` so a million pages parse in parallel,
+and the store-back is a ``groupBy(doc).collect_list`` + single rewrite per
+page — order restored by the line's reading order, not arrival order
+(removing the reference's sequential-store constraint,
+reader.py:425-429, 630-634).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def _q(tag: str) -> str:
+    return f"{{{NS}}}{tag}"
+
+
+# ---------------------------------------------------------------------------
+# driver-side single-page parse/write (pure functions; UDFs wrap these)
+# ---------------------------------------------------------------------------
+
+def parse_page(xml_str: str, skip_commented: bool = False) -> List[dict]:
+    """One PAGE-XML document -> ordered line rows
+    (line_id, region_id, order, coords, text). Lines whose region or line
+    id is commented out are skipped when ``skip_commented``
+    (reference: pagexml/reader.py:106-107)."""
+    root = ET.fromstring(xml_str)
+    out: List[dict] = []
+    order = 0
+    for region in root.iter(_q("TextRegion")):
+        region_id = region.get("id", "")
+        for line in region.findall(_q("TextLine")):
+            if skip_commented and line.get("comments"):
+                continue
+            coords_el = line.find(_q("Coords"))
+            coords = coords_el.get("points", "") if coords_el is not None else ""
+            text = None
+            # lowest TextEquiv index wins (reference: reader.py:95-119)
+            best_index = None
+            for te in line.findall(_q("TextEquiv")):
+                idx = int(te.get("index", "0"))
+                uni = te.find(_q("Unicode"))
+                if uni is not None and (best_index is None or idx < best_index):
+                    best_index = idx
+                    text = uni.text or ""
+            out.append(
+                {
+                    "line_id": line.get("id", f"l{order}"),
+                    "region_id": region_id,
+                    "order": order,
+                    "coords": coords,
+                    "text": text,
+                }
+            )
+            order += 1
+    return out
+
+
+def write_predictions(xml_str: str, predictions: Dict[str, Tuple[str, float]]) -> str:
+    """Insert predicted sentences (and confidence) into each TextLine's
+    TextEquiv[index=1]/Unicode, mirroring the reference's store-back
+    (reference: pagexml/reader.py:398-429)."""
+    ET.register_namespace("", NS)
+    root = ET.fromstring(xml_str)
+    for line in root.iter(_q("TextLine")):
+        lid = line.get("id")
+        if lid not in predictions:
+            continue
+        sentence, conf = predictions[lid]
+        # drop any existing index=1 equiv, then append ours
+        for te in list(line.findall(_q("TextEquiv"))):
+            if te.get("index") == "1":
+                line.remove(te)
+        te = ET.SubElement(line, _q("TextEquiv"))
+        te.set("index", "1")
+        te.set("conf", f"{conf:.4f}")
+        uni = ET.SubElement(te, _q("Unicode"))
+        uni.text = sentence
+    return ET.tostring(root, encoding="unicode")
+
+
+def coords_to_box(coords: str) -> Tuple[int, int, int, int]:
+    """Polygon points -> minimal bounding rect (x0, y0, x1, y1) — the 'mbr'
+    cut mode (reference: pagexml/reader.py:283-391)."""
+    pts = [tuple(int(v) for v in p.split(",")) for p in coords.split() if "," in p]
+    if not pts:
+        return (0, 0, 0, 0)
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs) + 1, max(ys) + 1)
+
+
+def cutout_box(img, coords: str):
+    """Cut the MBR region of a polygon out of a page image (numpy)."""
+    x0, y0, x1, y1 = coords_to_box(coords)
+    return img[max(0, y0) : y1, max(0, x0) : x1]
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+PAGE_LINES_SCHEMA = (
+    "doc_id string, line_id string, region_id string, `order` int,"
+    " coords string, text string"
+)
+
+
+def read_pagexml(pages: DataFrame) -> DataFrame:
+    """(doc_id, xml) -> one row per text line, parsed in parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, xml_str in zip(b["doc_id"], b["xml"]):
+                for r in parse_page(xml_str):
+                    rows.append({"doc_id": doc_id, **r})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "line_id", "region_id", "order", "coords", "text"]
+            )
+
+    return pages.mapInPandas(run, schema=PAGE_LINES_SCHEMA)
+
+
+def store_pagexml(pages: DataFrame, predictions: DataFrame) -> DataFrame:
+    """(doc_id, xml) x (doc_id, line_id, sentence, conf) -> (doc_id, xml)
+    with predictions written back. One groupBy(doc_id) gathers each page's
+    predictions; the page XML joins in and is rewritten once."""
+    per_doc = predictions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("line_id", "sentence", "conf")).alias("preds")
+    )
+    joined = pages.join(per_doc, "doc_id", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, xml_str, preds in zip(b["doc_id"], b["xml"], b["preds"]):
+                pmap = {
+                    p["line_id"]: (p["sentence"], float(p["conf"]))
+                    for p in (preds if preds is not None else [])
+                }
+                rows.append(
+                    {"doc_id": doc_id, "xml": write_predictions(xml_str, pmap)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    return joined.mapInPandas(run, schema="doc_id string, xml string")
