@@ -1,0 +1,146 @@
+"""Evaluation/reporting queries (SURVEY.md §2.G).
+
+The evaluator's join + per-line scoring + fold-to-totals shape is
+q_cer_eval (textplans); here are the remaining reference reports:
+worst-lines top-k (reference: calamari_ocr/scripts/eval.py:37-49),
+synchronize-based confusion counts + top-N (evaluator.py:119-203,
+scripts/eval.py:17-34), dataset statistics (scripts/dataset_statistics.py),
+and average prediction confidence
+(scripts/compute_average_prediction_confidence.py:21-27).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calamari_spark.plans.textplans import _REG_SQL, _regularized_col
+from calamari_spark.sources.tables import load_table
+
+TOP_N = 10
+
+
+def _gt_pred(docs: DataFrame):
+    """The synthetic evaluation scenario shared with q_cer_eval: pred is a
+    seeded deterministic corruption of gt (drop 'a', 'o' -> '0')."""
+    clean = _regularized_col(F.col("text"))
+    gt = clean
+    pred = F.replace(F.replace(clean, F.lit("a"), F.lit("")), F.lit("o"), F.lit("0"))
+    return docs.select("doc_id", gt.alias("gt"), pred.alias("pred"))
+
+
+def q_worst_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines sorted by error count, top N (reference: eval.py:37-49)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        _gt_pred(docs)
+        .select(
+            "doc_id",
+            F.length("gt").alias("chars"),
+            F.levenshtein("gt", "pred").alias("errs"),
+        )
+        .orderBy(F.desc("errs"), "doc_id")
+        .limit(TOP_N)
+    )
+
+
+Q_WORST_SQL = f"""
+SELECT doc_id, length(gt) AS chars, levenshtein(gt, pred) AS errs
+FROM (
+  SELECT doc_id, {_REG_SQL} AS gt,
+         replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred
+  FROM documents
+)
+ORDER BY errs DESC, doc_id LIMIT {TOP_N}
+"""
+
+
+def x_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N confusion counts from synchronize-based alignment — the
+    reference's confusion report (evaluator.py:152-160: per mismatched sync
+    region, (gt_sub, pred_sub) += 1; eval.py:17-34: sort desc, take N).
+    The recursive LCS alignment is not SQL-expressible: rows-only check."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _gt_pred(docs)
+
+    schema = "gt_sub string, pred_sub string, n int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.synchronize import synchronize
+
+        for b in batches:
+            rows = []
+            for gt, pred in zip(b["gt"], b["pred"]):
+                for seg in synchronize([gt, pred]):
+                    a = gt[seg.starts[0] : seg.stops[0] + 1]
+                    p = pred[seg.starts[1] : seg.stops[1] + 1]
+                    if a != p:
+                        rows.append({"gt_sub": a, "pred_sub": p, "n": 1})
+            yield pd.DataFrame(rows, columns=["gt_sub", "pred_sub", "n"])
+
+    confusions = pairs.mapInPandas(run, schema=schema)
+    return (
+        confusions.groupBy("gt_sub", "pred_sub")
+        .agg(F.sum("n").alias("count"))
+        .orderBy(F.desc("count"), "gt_sub", "pred_sub")
+        .limit(TOP_N)
+    )
+
+
+def x_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-image corpus statistics (reference: dataset_statistics.py:27-88)
+    — count + width moments, verified against the fixture's stored dims."""
+    from calamari_spark.plans.extraction import load_interleaved
+
+    _, media = load_interleaved(spark, sf_dir)
+    return media.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.stddev_samp("width"), 6).alias("std_width"),
+    )
+
+
+def x_dataset_stats_oracle(sf_dir: str) -> str:
+    from calamari_spark.plans.extraction import _fixture_glob
+
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+SELECT count(*) AS n_lines,
+       min(width) AS min_width,
+       max(width) AS max_width,
+       round(avg(width), 6) AS avg_width,
+       round(stddev_samp(width), 6) AS std_width
+FROM read_parquet('{media}')
+"""
+
+
+def x_avg_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean sentence confidence over the recognize output (reference:
+    scripts/predict.py:177-178). Confidence comes from the voter internals:
+    rows-only check."""
+    from calamari_spark.plans.extraction import x_recognize_positions
+
+    rec = x_recognize_positions(spark, sf_dir)
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("avg_char_probability"), 6).alias("avg_confidence"),
+    )
+
+
+def _sfq(fn, oracle_fn=None):
+    if oracle_fn is None:
+        return (fn, None)
+    return (fn, oracle_fn("/root/testdata/sf0.01"))
+
+
+EVAL_QUERIES = {
+    "q_worst_lines": (q_worst_lines, Q_WORST_SQL),
+    "x_confusions": (x_confusions, None),
+    "x_dataset_stats": _sfq(x_dataset_stats, x_dataset_stats_oracle),
+    "x_avg_confidence": (x_avg_confidence, None),
+}
