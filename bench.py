@@ -31,11 +31,14 @@ HEADLINE = [
     "q_strip_regularize",
     "q_token_count",
     "q_exact_dedup",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
     "q_ngram_jaccard_pairs",
     "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
     "q_cer_eval",
 ]
-EXTRACTION = ["x_extract_docs"]  # added when the pipeline query exists
+EXTRACTION = ["x_extract_docs", "x_image_stats"]
 
 
 def run_queries(spark, names, sf_dir, reps: int = 2):

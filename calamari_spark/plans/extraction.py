@@ -495,6 +495,56 @@ def x_recognize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+def x_media_text_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recognize with CTC prefix beam search instead of greedy decode (the
+    north star's prefix-beam option; reference wrapper:
+    ctcwordbeamsearchdecoder.py:9-26). The beam carries no per-frame
+    positions, so the sentence is the raw label decode (space-less); the
+    oracle is the ground truth with spaces removed."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
+    with_png = spans.join(media.select("media_ref", "png"), "media_ref")
+    n_part = spark.sparkContext.defaultParallelism * 2
+    with_png = with_png.repartition(n_part, "media_ref")
+
+    schema = "media_ref string, sentence string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.ctc import prefix_beam_decode
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(1)
+        rec = recs[0]
+        for b in batches:
+            rows = []
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                pooled = rec.pooled_scores(img)
+                sm = (
+                    rec.softmax_from_scores(pooled)
+                    if pooled is not None
+                    else rec._blank_softmax(img)
+                )
+                labels = prefix_beam_decode(sm, blank=0, beam_width=5)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "sentence": "".join(codec.code2char[l] for l in labels),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "sentence"])
+
+    return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
+
+
+def x_media_text_beam_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return (
+        f"SELECT media_ref, replace(gt, ' ', '') AS sentence"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
+    )
+
+
 def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNN-BiLSTM ensemble plumbing on pinned seeded weights (reference
     weights are absent — .MISSING_LARGE_BLOBS — so the decoded text is not
@@ -502,7 +552,13 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward -> mean-softmax -> decode path at Spark level; rows-only)."""
     docs, media = load_interleaved(spark, sf_dir)
     spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
-    with_png = spans.join(media.select("media_ref", "png"), "media_ref")
+    with_png = spans.join(media.select("media_ref", "png", "width"), "media_ref")
+    # width bucketing: sort by width within partitions so each Arrow batch
+    # pads to a similar max length — the reference's bucket_boundaries
+    # length bucketing (data.py:88-92, test_prediction.py:209-213); padding
+    # waste is the CNN path's dominant cost at mixed line widths
+    n_part = spark.sparkContext.defaultParallelism * 2
+    with_png = with_png.repartition(n_part, "media_ref").sortWithinPartitions("width")
 
     schema = "media_ref string, sentence string, out_len int, n_frames int"
 
@@ -596,6 +652,7 @@ def _sfq(fn, oracle_fn=None):
 EXTRACTION_QUERIES = {
     "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
+    "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
     "x_recognize_positions": (x_recognize_positions, None),

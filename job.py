@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction job.
+
+Packaging + launch (the north star's deployment shape):
+
+    zip -r calamari_spark.zip calamari_spark
+    spark-submit --master <cluster> \\
+        --py-files calamari_spark.zip \\
+        job.py --sf-dir /root/testdata/sf0.01 --out /data/run1
+
+The job is resumable: re-submitting with the same --out picks up at
+partition (doc_id-bucket) granularity via the lineage table
+(calamari_spark.plans.lineage). Prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="scale-factor dir selecting the interleaved corpus")
+    p.add_argument("--out", required=True, help="output root (extracted/lineage/metrics)")
+    p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument("--buckets-per-wave", type=int, default=4)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # master/deploy settings come from spark-submit; only engine-level
+    # configs are set here (mirrors calamari_spark.session.get_spark)
+    builder = (
+        SparkSession.builder.appName("calamari_spark_extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    )
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from calamari_spark.plans.extraction import load_interleaved
+    from calamari_spark.plans.lineage import run_extraction_job
+
+    docs, media = load_interleaved(spark, args.sf_dir)
+    summary = run_extraction_job(
+        spark, docs, media, args.out,
+        n_buckets=args.n_buckets, buckets_per_wave=args.buckets_per_wave,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Packaging: the job must run via spark-submit --py-files <zip> job.py
+(the north star's deployment shape), resumably."""
+
+import json
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _make_zip(tmp_path: Path) -> Path:
+    z = tmp_path / "calamari_spark.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for f in sorted((REPO / "calamari_spark").rglob("*.py")):
+            zf.write(f, f.relative_to(REPO))
+    return z
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    z = _make_zip(tmp_path)
+    out_dir = tmp_path / "run"
+    cmd = [
+        spark_submit, "--master", "local[8]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", str(z),
+        str(REPO / "job.py"),
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(out_dir),
+        "--n-buckets", "4",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["status"] == "complete"
+    assert summary["completed_buckets"] == [0, 1, 2, 3]
+    assert (out_dir / "lineage").exists() and (out_dir / "extracted").exists()
+
+    # resubmit: resume is a no-op (all buckets already committed)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary2 = json.loads(
+        [l for l in r2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary2["status"] == "complete"
