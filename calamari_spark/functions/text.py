@@ -198,6 +198,29 @@ def regularize_column(col: Column, rulesets: List[str] | None = None,
     return col
 
 
+def regularize_sql(col_expr: str, rulesets: List[str] | None = None,
+                   rulegroups: List[str] | None = None) -> str:
+    """Render the same ordered rule chain as ANSI/DuckDB SQL — generated
+    from the SAME rule data as the Spark/Python paths, so the three stay in
+    lockstep by construction (this is the oracle side of the regularizer
+    queries)."""
+    if rulesets is None and rulegroups is None:
+        rulesets = ["spaces"]
+    expr = col_expr
+    for old, new, is_regex in _resolve(rulesets, rulegroups):
+        if is_regex:
+            # DuckDB string literals pass backslashes through to RE2
+            # verbatim ('\s+' stays \s+); only quotes need escaping
+            o = old.replace("'", "''")
+            n = new.replace("'", "''")
+            expr = f"regexp_replace({expr}, '{o}', '{n}', 'g')"
+        else:
+            o = old.replace("'", "''")
+            n = new.replace("'", "''")
+            expr = f"replace({expr}, '{o}', '{n}')"
+    return expr
+
+
 def strip_column(col: Column) -> Column:
     """reference: basic_text_processors.py:20-35 (str.strip)."""
     return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")

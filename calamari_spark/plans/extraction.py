@@ -607,6 +607,55 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
 
 
+def x_fold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict-and-eval (reference: scripts/predict_and_eval.py:65-142):
+    every fold's own sentence AND the voted sentence are scored against the
+    ground truth; one row per fold plus 'voted'. Fold sentences come out of
+    the same UDF pass that votes (EnsembleGraph's per-fold outputs,
+    ensemblegraph.py:24-45). Voter internals are not SQL: rows-only."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
+    with_png = spans.join(media.select("media_ref", "png", "gt"), "media_ref")
+    n_part = spark.sparkContext.defaultParallelism * 2
+    with_png = with_png.repartition(n_part, "media_ref")
+
+    schema = "media_ref string, fold string, sentence string, gt string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.ctc import greedy_decode
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(N_FOLDS)
+        for b in batches:
+            rows = []
+            for ref, png, gt in zip(b["media_ref"], b["png"], b["gt"]):
+                sentence, _, _ = _recognize_one(png, N_FOLDS)
+                rows.append({"media_ref": ref, "fold": "voted",
+                             "sentence": sentence, "gt": gt})
+                img = decode_png(bytes(png))
+                pooled = recs[0].pooled_scores(img)
+                for k, rec in enumerate(recs):
+                    sm = (rec.softmax_from_scores(pooled) if pooled is not None
+                          else rec._blank_softmax(img))
+                    pred = greedy_decode(sm)
+                    txt = "".join(codec.code2char[l] for l in pred.labels)
+                    rows.append({"media_ref": ref, "fold": f"fold_{k}",
+                                 "sentence": txt, "gt": gt.replace(" ", "")})
+            yield pd.DataFrame(rows, columns=["media_ref", "fold", "sentence", "gt"])
+
+    per_line = with_png.mapInPandas(run, schema=schema)
+    return (
+        per_line.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("gt")).alias("total_chars"),
+            F.sum(F.levenshtein("gt", "sentence")).alias("total_errs"),
+            F.round(F.sum(F.levenshtein("gt", "sentence")) / F.sum(F.length("gt")), 6).alias("avg_ler"),
+        )
+        .orderBy("fold")
+    )
+
+
 def x_extract_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CER of the recognize path vs media ground truth — the reference's
     quality gate (test_eval.py:56: avg_ler < 0.0009). With the template
@@ -657,4 +706,5 @@ EXTRACTION_QUERIES = {
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
     "x_recognize_positions": (x_recognize_positions, None),
     "x_extract_cnn": (x_extract_cnn, None),
+    "x_fold_eval": (x_fold_eval, None),
 }

@@ -362,8 +362,37 @@ ORDER BY doc_a, doc_b
 """
 
 
+# payload appended to every document so each ruleset family has work to do
+# (ligatures, roman numerals, fancy quotes/dashes, micro sign, punctuation
+# spacing); identical literal on both engines
+_RULE_PAYLOAD = ' ﬁﬀx Ⅻ ax—b µm "q" y . z…'
+
+
+def q_regularize_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 'zpd' rulegroup (quotes, spaces, roman digits, consonantal
+    ligatures, various, punctuation — reference: resources/rulegroups.json,
+    text_regularizer.py:47-119) as one whole-stage-codegen'd column chain;
+    the oracle SQL is GENERATED from the same rule data."""
+    from calamari_spark.functions.text import regularize_column
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(F.col("text"), F.lit(_RULE_PAYLOAD))
+    return docs.select(
+        "doc_id", regularize_column(raw, rulegroups=["zpd"]).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def _regularize_extended_sql() -> str:
+    from calamari_spark.functions.text import regularize_sql
+
+    payload = _RULE_PAYLOAD.replace("'", "''")
+    expr = regularize_sql(f"(text || '{payload}')", rulegroups=["zpd"])
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents ORDER BY doc_id"
+
+
 TEXT_QUERIES = {
     "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
+    "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "q_quality_score": (q_quality_score, Q_QUALITY_SQL),
     "q_langid": (q_langid, Q_LANGID_SQL),

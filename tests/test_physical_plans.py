@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the optimizations the 100 TB design relies on
+must actually appear in the executed plans (pushdown, pruning, broadcast,
+whole-stage codegen, no accidental Python in JVM-able paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from calamari_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        df.count()  # let AQE finalize so codegen stages are visible
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_push_to_parquet(spark):
+    li = load_table(spark, "lineitem", SF)
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan.replace("\n", " ")
+    # column pruning: the read schema carries only the two needed columns
+    assert "l_comment" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_small_dims_broadcast_in_star_join(spark):
+    from calamari_spark.plans.relational import q5_nation_revenue
+
+    plan = _plan(q5_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_has_partial_pass_and_vectorized_scan(spark):
+    from calamari_spark.plans.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "partial_sum" in plan  # the map-side combine really is partial
+    assert "Batched: true" in plan  # vectorized parquet reader
+
+
+def test_text_pipeline_queries_have_no_python_nodes(spark):
+    """Every text/dedup plan must stay JVM-side (the scale invariant)."""
+    from calamari_spark.plans.dedup import q_minhash_lsh_pairs, q_simhash
+    from calamari_spark.plans.textplans import (
+        q_exact_dedup,
+        q_quality_score,
+        q_regularize_extended,
+        q_strip_regularize,
+    )
+
+    for q in (q_strip_regularize, q_regularize_extended, q_quality_score,
+              q_exact_dedup, q_simhash, q_minhash_lsh_pairs):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_ann_query_broadcasts_query_set(spark):
+    from calamari_spark.plans.annplans import q_ann_cosine_topk, q_ann_ivf_topk
+
+    assert "BroadcastNestedLoopJoin" in _plan(q_ann_cosine_topk(spark, SF)) or \
+           "BroadcastHashJoin" in _plan(q_ann_cosine_topk(spark, SF))
+    assert "Broadcast" in _plan(q_ann_ivf_topk(spark, SF))
+
+
+def test_extraction_ocr_stage_partition_count(spark):
+    """The compute-bound OCR exchange must carry the explicit parallelism
+    (defaultParallelism * 2), immune to AQE byte-based coalescing."""
+    from calamari_spark.plans import extraction as X
+
+    docs, media = X.load_interleaved(spark, SF)
+    spans = X.explode_spans(docs).filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    rec = X.recognize_media(spans.join(media.select("media_ref", "png"), "media_ref"))
+    expected = spark.sparkContext.defaultParallelism * 2
+    assert f"REPARTITION_BY_NUM, {expected}" in _plan(rec).replace("\n", " ") or \
+           f"hashpartitioning(media_ref#" in _plan(rec)
+    # and the recognize stage itself is the only Python node
+    assert _plan(rec).count("MapInPandas") == 1

@@ -53,3 +53,31 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
     # re-draining with nothing new must add nothing (checkpoint exactness)
     drain(stream_extract(spark, str(input_dir), media, out_dir))
     assert read_stream_output(spark, out_dir).count() == docs.count()
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    from calamari_spark.streaming.stateful import stream_dedup_docs
+
+    docs, _ = X.load_interleaved(spark, SF)
+    src_files = _doc_files(SF)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "dedup")
+
+    # batch 1: originals
+    for p in src_files:
+        shutil.copy(p, input_dir / p.name)
+    drain(stream_dedup_docs(spark, str(input_dir), out))
+    unique = spark.read.parquet(f"{out}/unique")
+    n_docs = docs.count()
+    assert unique.count() == n_docs
+    assert unique.agg(F.sum("dup_seen")).collect()[0][0] == 0
+
+    # batch 2: the SAME files land again under new names (a re-crawl) —
+    # state must suppress every one of them
+    for p in src_files:
+        shutil.copy(p, input_dir / ("again_" + p.name))
+    drain(stream_dedup_docs(spark, str(input_dir), out))
+    unique = spark.read.parquet(f"{out}/unique")
+    assert unique.count() == n_docs  # no new rows
+    assert unique.select("doc_id").distinct().count() == n_docs
