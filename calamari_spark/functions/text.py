@@ -198,6 +198,24 @@ def regularize_column(col: Column, rulesets: List[str] | None = None,
     return col
 
 
+def str_to_char_list(txt: str, charset: List[str]) -> List[str]:
+    """Greedy longest-match tokenization of a string into (possibly
+    multi-char) codec symbols (reference: textprocessors/str_to_char_list.py
+    :20-41). Raises on unmatchable input like the reference."""
+    by_len = sorted((c for c in charset if c), key=len, reverse=True)
+    out: List[str] = []
+    i = 0
+    while i < len(txt):
+        for sym in by_len:
+            if txt.startswith(sym, i):
+                out.append(sym)
+                i += len(sym)
+                break
+        else:
+            raise ValueError(f"no charset symbol matches {txt[i:]!r} at {i}")
+    return out
+
+
 def regularize_sql(col_expr: str, rulesets: List[str] | None = None,
                    rulegroups: List[str] | None = None) -> str:
     """Render the same ordered rule chain as ANSI/DuckDB SQL — generated

@@ -87,3 +87,56 @@ def read_abbyy(pages: DataFrame) -> DataFrame:
 def cutout_rect(img, l: int, t: int, r: int, b: int):
     """Cut a line rect out of a page image (reference: abbyy rect cut)."""
     return img[max(0, t) : b, max(0, l) : r]
+
+
+def write_predictions_abbyy(xml_str: str, predictions: dict) -> str:
+    """Write predicted sentences back per line (reference:
+    abbyy/xml/writer.py:1-87): each predicted line's content is replaced by
+    one formatting element holding the sentence. Keyed by the same
+    line_id scheme the reader emits."""
+    root = ET.fromstring(xml_str)
+    ns = root.tag.split("}")[0].strip("{") if "}" in root.tag else ""
+    order = 0
+    page_no = 0
+    for page in (el for el in root.iter() if _local(el.tag) == "page"):
+        block_no = 0
+        for block in (el for el in page if _local(el.tag) == "block"):
+            if block.get("blockType", "Text") != "Text":
+                continue
+            for line in (el for el in block.iter() if _local(el.tag) == "line"):
+                lid = f"p{page_no}_b{block_no}_l{order}"
+                order += 1
+                if lid not in predictions:
+                    continue
+                for child in list(line):
+                    line.remove(child)
+                tag = f"{{{ns}}}formatting" if ns else "formatting"
+                fmt = ET.SubElement(line, tag)
+                fmt.text = predictions[lid]
+            block_no += 1
+        page_no += 1
+    return ET.tostring(root, encoding="unicode")
+
+
+def store_abbyy(pages, predictions):
+    """(doc_id, xml) x (doc_id, line_id, sentence) -> rewritten XML per doc
+    (same reassembly shape as store_pagexml)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    per_doc = predictions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("line_id", "sentence")).alias("preds")
+    )
+    joined = pages.join(per_doc, "doc_id", "left")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for doc_id, xml_str, preds in zip(b["doc_id"], b["xml"], b["preds"]):
+                pmap = {p["line_id"]: p["sentence"]
+                        for p in (preds if preds is not None else [])}
+                rows.append({"doc_id": doc_id,
+                             "xml": write_predictions_abbyy(xml_str, pmap)})
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    return joined.mapInPandas(run, schema="doc_id string, xml string")

@@ -162,3 +162,28 @@ def test_extended_prediction_roundtrip(spark):
         assert [p["global_start"] for p in r["positions"]] == [
             p["global_start"] for p in o["positions"]
         ]
+
+
+def test_abbyy_store_back(spark):
+    from calamari_spark.sources.abbyy import store_abbyy
+
+    pages = spark.createDataFrame([("a1", ABBYY_XML)], "doc_id string, xml string")
+    preds = spark.createDataFrame(
+        [("a1", "p0_b0_l0", "THE FIXED")],
+        "doc_id string, line_id string, sentence string",
+    )
+    out = {r["doc_id"]: r["xml"] for r in store_abbyy(pages, preds).collect()}
+    assert "THE FIXED" in out["a1"]
+    back = parse_abbyy(out["a1"])
+    assert back[0]["text"] == "THE FIXED"
+    assert back[1]["text"] == "scan merge"  # untouched line survives
+
+
+def test_str_to_char_list():
+    from calamari_spark.functions.text import str_to_char_list
+
+    # greedy longest match: multi-char symbols win over their prefixes
+    assert str_to_char_list("chab", ["a", "b", "c", "h", "ch"]) == ["ch", "a", "b"]
+    assert str_to_char_list("aab", ["a", "aa", "b"]) == ["aa", "b"]
+    with pytest.raises(ValueError):
+        str_to_char_list("xyz", ["a", "b"])
