@@ -80,18 +80,26 @@ class TemplateRecognizer:
         # sliding windows [n_y * n_x, GLYPH_H * GLYPH_W]
         win = np.lib.stride_tricks.sliding_window_view(ink, (GLYPH_H, GLYPH_W))
         flat = win.reshape(n_y * n_x, -1)
-        norms = np.sqrt((flat * flat).sum(axis=-1)) + 1e-6
+        # window L2 norms via a squared integral image (one O(HW) pass
+        # instead of re-reading every window)
+        sq = np.cumsum(np.cumsum((ink * ink).astype(np.float64), axis=0), axis=1)
+        S = np.pad(sq, ((1, 0), (1, 0)))
+        n2 = (
+            S[GLYPH_H : GLYPH_H + n_y, GLYPH_W : GLYPH_W + n_x]
+            - S[:n_y, GLYPH_W : GLYPH_W + n_x]
+            - S[GLYPH_H : GLYPH_H + n_y, :n_x]
+            + S[:n_y, :n_x]
+        )
+        norms = np.sqrt(np.maximum(n2, 0)).astype(np.float32) + 1e-6
         # one GEMM against every template: normalized cross-correlation
-        corr = (flat @ self.template_matrix) / norms[:, None]
-        best_y = corr.reshape(n_y, n_x, -1).max(axis=0)
-        scores[:n_x, self.template_labels] = best_y
+        corr = (flat @ self.template_matrix).reshape(n_y, n_x, -1) / norms[..., None]
+        scores[:n_x, self.template_labels] = corr.max(axis=0)
         # pool columns into STRIDE-wide time buckets (max per char) so an
         # exact-alignment peak is never missed by subsampling
         T = int(np.ceil(W / STRIDE))
-        pooled = np.zeros((T, classes), dtype=np.float32)
-        for t_idx in range(T):
-            pooled[t_idx] = scores[t_idx * STRIDE : (t_idx + 1) * STRIDE].max(axis=0)
-        return pooled
+        if T * STRIDE != W:
+            scores = np.pad(scores, ((0, T * STRIDE - W), (0, 0)))
+        return scores.reshape(T, STRIDE, classes).max(axis=1)
 
     def softmax_from_scores(self, pooled: np.ndarray) -> np.ndarray:
         """Fold-dependent half: pooled scores -> blank-first softmax."""

@@ -66,6 +66,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+# BPE-ish pre-tokenization (GPT-2-style contraction/word/number/punct
+# splitting, ASCII-scoped so both regex engines agree byte-for-byte)
+_BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the
+    training-data-pipeline token budgeter): counts per doc plus the
+    corpus-wide token total — all JVM-side regexp_count/extract."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(clean, F.lit(_BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.size(F.split(clean, " ")).alias("n_ws_tokens"),
+    )
+    return per_doc.orderBy("doc_id")
+
+
+_BPE_PATTERN_SQL = _BPE_PATTERN.replace("'", "''")
+
+Q_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all({_REG_SQL}, '{_BPE_PATTERN_SQL}')) AS n_bpe_tokens,
+       len(string_split({_REG_SQL}, ' ')) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features: punctuation ratio, stopword ratio, mean
     token length, composite score. Pure map — no shuffle."""
@@ -394,6 +423,7 @@ TEXT_QUERIES = {
     "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
     "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),
     "q_quality_score": (q_quality_score, Q_QUALITY_SQL),
     "q_langid": (q_langid, Q_LANGID_SQL),
     "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
