@@ -138,8 +138,15 @@ def _spaces_between(prev_start: int, cur_start: int) -> int:
     return max(0, int(round((cur_start - prev_start - GLYPH_W) / SPACE_W)))
 
 
-def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
-    """Full per-line recognize path. Returns (sentence, avg_conf, positions)."""
+def _recognize_one(png: bytes, n_folds: int,
+                   with_positions: bool = True) -> Tuple[str, float, List[dict]]:
+    """Full per-line recognize path. Returns (sentence, avg_conf, positions).
+
+    with_positions=False is the text-only fast path used by document
+    reassembly: the nested per-character position/alternative tree is not
+    built, and when every fold decodes the identical label sequence the
+    confidence merge is skipped (the voted sentence provably equals the
+    unanimous one; confidences are only approximated by fold 0's)."""
     from calamari_spark.model.template import STRIDE
     from calamari_spark.operators.ctc import greedy_decode
     from calamari_spark.operators.vote import (
@@ -173,7 +180,10 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
         folds.append(pred)
         fold_chars.append([codec.code2char[l] for l in pred.labels])
 
-    voted = vote_prediction(folds, fold_chars)
+    if not with_positions and all(c == fold_chars[0] for c in fold_chars[1:]):
+        voted = folds[0]  # unanimous: voted text == any fold's text
+    else:
+        voted = vote_prediction(folds, fold_chars)
 
     # word segmentation + final text postproc (the post chain of §2.C)
     parts: List[str] = []
@@ -186,6 +196,8 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
             parts.append(" " * _spaces_between(prev_start, pos.global_start))
         parts.append(pos.chars[0].char)
         prev_start = pos.global_start
+        if not with_positions:
+            continue
         positions.append(
             {
                 "char": pos.chars[0].char,
@@ -204,7 +216,8 @@ def _recognize_one(png: bytes, n_folds: int) -> Tuple[str, float, List[dict]]:
     return sentence, float(voted.avg_char_probability), positions
 
 
-def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
+def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
+                    with_positions: bool = True) -> DataFrame:
     """mapInPandas OCR stage over (doc_id, offset, media_ref, png).
 
     The stage is compute-bound (~15 ms/line), not byte-bound, so AQE's
@@ -224,7 +237,9 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS) -> Data
             for doc_id, offset, ref, png in zip(
                 b["doc_id"], b["offset"], b["media_ref"], b["png"]
             ):
-                sentence, conf, positions = _recognize_one(png, n_folds)
+                sentence, conf, positions = _recognize_one(
+                    png, n_folds, with_positions
+                )
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -311,7 +326,7 @@ def extract_documents(
         "doc_id", "offset", "media_ref"
     )
     with_png = media_spans.join(media.select("media_ref", "png"), "media_ref")
-    recognized = recognize_media(with_png, n_folds).select(
+    recognized = recognize_media(with_png, n_folds, with_positions=False).select(
         "doc_id",
         F.lit("media").alias("kind"),
         F.col("sentence").alias("text"),
