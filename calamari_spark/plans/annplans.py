@@ -80,16 +80,18 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above 0.95 among the first 200
-    vectors (bounded so the oracle's O(n^2) stays cheap; the Spark plan is
-    the same join shape the LSH variant prunes at scale)."""
+    """Embedding-cosine near-duplicate pairs above 0.40 among the first 200
+    vectors (bounded so the oracle's O(n^2) stays cheap; the driver's
+    synthetic embeddings top out near cosine 0.45, so 0.40 yields a small
+    non-empty result set at every SF; the Spark plan is the same join shape
+    the LSH variant prunes at scale)."""
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))))
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= 0.40)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -102,7 +104,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) /
-      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.95
+      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.40
 ORDER BY id_a, id_b
 """
 
