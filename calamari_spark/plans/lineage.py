@@ -101,21 +101,45 @@ def run_extraction_job(
         wall = time.perf_counter() - t0
 
         # per-bucket metrics from the just-written output (scan is cheap:
-        # partition-pruned to the wave's directories)
+        # partition-pruned to the wave's directories): sizes, throughput,
+        # and — when the media store carries ground truth — per-bucket CER
+        # (the north rule's per-partition throughput + CER metrics table)
         written = spark.read.parquet(output_dir).filter(
             F.col("bucket").isin([int(b) for b in wave])
         )
-        stats = (
-            written.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size("spans")).alias("n_spans"),
-                F.sum(
-                    F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
-                ).alias("n_media"),
+        stats = written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(
+                F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+            ).alias("n_media"),
+        )
+        if "gt" in media.columns:
+            media_out = written.select(
+                "bucket", F.explode("spans").alias("s")
+            ).filter(F.col("s.kind") == "media").select(
+                "bucket",
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.text").alias("sentence"),
             )
-            .withColumn("run_id", F.lit(run_id))
+            cer = (
+                media_out.join(media.select("media_ref", "gt"), "media_ref")
+                .groupBy("bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.levenshtein("gt", "sentence")) / F.sum(F.length("gt")), 6
+                    ).alias("cer")
+                )
+            )
+            stats = stats.join(cer, "bucket", "left")
+        else:
+            stats = stats.withColumn("cer", F.lit(None).cast("double"))
+        stats = (
+            stats.withColumn("run_id", F.lit(run_id))
             .withColumn("wave_wall_s", F.lit(round(wall, 3)))
+            .withColumn(
+                "lines_per_sec", F.round(F.col("n_media") / F.lit(max(wall, 1e-9)), 2)
+            )
         )
         stats.write.mode("append").parquet(metrics_dir)
         lineage = spark.createDataFrame(

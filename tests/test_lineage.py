@@ -56,6 +56,10 @@ def test_metrics_table_shape(spark, corpus, tmp_path):
     assert {r["bucket"] for r in rows} == set(range(4))
     assert all(r["n_docs"] > 0 and r["n_spans"] >= r["n_media"] >= 0 for r in rows)
     assert all(r["wave_wall_s"] > 0 for r in rows)
+    # per-partition quality + throughput metrics (the north rule's table):
+    # the template ensemble is exact, so CER must be 0 in every bucket
+    assert all(r["cer"] == 0.0 for r in rows)
+    assert all(r["lines_per_sec"] > 0 for r in rows)
     total_docs = sum(r["n_docs"] for r in rows)
     assert total_docs == docs.count()
 
