@@ -41,6 +41,17 @@ HEADLINE = [
 EXTRACTION = ["x_extract_docs", "x_image_stats"]
 
 
+def _consume(df) -> None:
+    """Value-consuming action: sum an xxhash64 over every output column.
+    A bare count() lets Catalyst prune projected columns on map-only
+    queries (the round-1 bench measured the scan, not the regexp work);
+    hashing every column forces the full computation while still returning
+    one row to the driver."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
+
+
 def run_queries(spark, names, sf_dir, reps: int = 2):
     """Per query: run `reps` times, report the min (steady-state — Spark's
     one-time whole-stage-codegen Janino compile otherwise dominates small-SF
@@ -56,7 +67,7 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
         for _rep in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.count()
+            _consume(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)

@@ -123,9 +123,9 @@ def x_avg_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean sentence confidence over the recognize output (reference:
     scripts/predict.py:177-178). Confidence comes from the voter internals:
     rows-only check."""
-    from calamari_spark.plans.extraction import x_recognize_positions
+    from calamari_spark.plans.extraction import _recognized_with_positions
 
-    rec = x_recognize_positions(spark, sf_dir)
+    rec = _recognized_with_positions(spark, sf_dir)
     return rec.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.avg("avg_char_probability"), 6).alias("avg_confidence"),

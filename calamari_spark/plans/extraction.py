@@ -470,7 +470,10 @@ def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = explode_spans(docs).filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
-    rec = recognize_media(spans.join(media.select("media_ref", "png"), "media_ref"))
+    rec = recognize_media(
+        spans.join(media.select("media_ref", "png"), "media_ref"),
+        with_positions=False,
+    )
     return rec.select("media_ref", "sentence").orderBy("media_ref")
 
 
@@ -497,17 +500,53 @@ def x_span_equality_oracle(sf_dir: str) -> str:
     )
 
 
-def x_recognize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full nested prediction output (positions + alternatives) — the
-    extended-prediction sink shape (reference: scripts/predict.py:151-175).
-    Non-SQL-expressible; rows-only driver check."""
+def _recognized_with_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal: full nested prediction tree (positions + alternatives) —
+    the extended-prediction sink shape (reference: scripts/predict.py:151-175)."""
     docs, media = load_interleaved(spark, sf_dir)
     spans = explode_spans(docs).filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
-    return recognize_media(
-        spans.join(media.select("media_ref", "png"), "media_ref")
+    return recognize_media(spans.join(media.select("media_ref", "png"), "media_ref"))
+
+
+def x_recognize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested prediction output serialized for the driver: the positions
+    tree is emitted as its extended-prediction JSON payload (a plain
+    sortable string; the nested variant stays internal via
+    _recognized_with_positions). Probabilities/extents are model internals,
+    so this stays rows-only; the GT-derivable slice is oracled separately in
+    x_position_chars."""
+    rec = _recognized_with_positions(spark, sf_dir)
+    return rec.select(
+        "media_ref", "sentence", F.to_json("positions").alias("positions_json")
     ).orderBy("media_ref")
+
+
+def x_position_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GT-derivable slice of the nested prediction tree: the per-glyph
+    position chars concatenate to the space-less sentence and there is one
+    position per glyph (reference semantics: predict/params.py:141-167 maps
+    one PredictionPosition per decoded char)."""
+    rec = _recognized_with_positions(spark, sf_dir)
+    return rec.select(
+        "media_ref",
+        "sentence",
+        F.concat_ws(
+            "", F.transform("positions", lambda p: p["char"])
+        ).alias("pos_chars"),
+        F.size("positions").cast("long").alias("n_positions"),
+    ).orderBy("media_ref")
+
+
+def x_position_chars_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+SELECT media_ref, gt AS sentence,
+       replace(gt, ' ', '') AS pos_chars,
+       CAST(length(replace(gt, ' ', '')) AS BIGINT) AS n_positions
+FROM read_parquet('{media}') ORDER BY media_ref
+"""
 
 
 def x_media_text_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +683,7 @@ def x_fold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             rows = []
             for ref, png, gt in zip(b["media_ref"], b["png"], b["gt"]):
-                sentence, _, _ = _recognize_one(png, N_FOLDS)
+                sentence, _, _ = _recognize_one(png, N_FOLDS, with_positions=False)
                 rows.append({"media_ref": ref, "fold": "voted",
                              "sentence": sentence, "gt": gt})
                 img = decode_png(bytes(png))
@@ -671,6 +710,25 @@ def x_fold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_fold_eval_oracle(sf_dir: str) -> str:
+    """GT-derivable because recognition is exact (CER == 0 is the quality
+    gate): every fold decodes the space-less ground truth, the voted text
+    equals the full ground truth, so all error totals are 0."""
+    media = _fixture_glob(sf_dir, "line_images")
+    folds = ", ".join([f"('fold_{k}')" for k in range(N_FOLDS)] + ["('voted')"])
+    return f"""
+SELECT f.fold,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN f.fold = 'voted' THEN length(gt)
+                     ELSE length(replace(gt, ' ', '')) END) AS BIGINT) AS total_chars,
+       CAST(0 AS BIGINT) AS total_errs,
+       CAST(0.0 AS DOUBLE) AS avg_ler
+FROM read_parquet('{media}')
+CROSS JOIN (VALUES {folds}) f(fold)
+GROUP BY f.fold ORDER BY f.fold
+"""
+
+
 def x_extract_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CER of the recognize path vs media ground truth — the reference's
     quality gate (test_eval.py:56: avg_ler < 0.0009). With the template
@@ -680,7 +738,8 @@ def x_extract_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "offset", "media_ref"
     )
     rec = recognize_media(
-        spans.join(media.select("media_ref", "png"), "media_ref")
+        spans.join(media.select("media_ref", "png"), "media_ref"),
+        with_positions=False,
     ).select("media_ref", "sentence")
     joined = rec.join(media.select("media_ref", "gt"), "media_ref")
     per_line = joined.select(
@@ -720,6 +779,7 @@ EXTRACTION_QUERIES = {
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
     "x_recognize_positions": (x_recognize_positions, None),
+    "x_position_chars": _sfq(x_position_chars, x_position_chars_oracle),
     "x_extract_cnn": (x_extract_cnn, None),
-    "x_fold_eval": (x_fold_eval, None),
+    "x_fold_eval": _sfq(x_fold_eval, x_fold_eval_oracle),
 }

@@ -233,14 +233,18 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-robin fold assignment via row_number % k (reference:
-    base.py:101-107, cross_fold.py:70-73 — theirs shuffles randomly; ours
-    is deterministic by sort key, the Spark-retry-safe variant)."""
+    """Deterministic hash-based fold assignment (reference: base.py:101-107,
+    cross_fold.py:70-73 shuffles randomly). fold = md5(seed || doc_id)
+    prefix mod k: a pure per-row map — no global window, no shuffle before
+    the final tiny groupBy — and stable under Spark task retries, so it
+    holds at any scale (the round-1 row_number() variant forced every row
+    through one task)."""
     docs = load_table(spark, "documents", sf_dir)
-    w = W.orderBy("doc_id")
+    hex8 = F.substring(F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8)
+    fold = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(5)).cast("int")
     return (
         docs.select("doc_id")
-        .withColumn("fold_id", (F.row_number().over(w) - 1) % 5)
+        .withColumn("fold_id", fold)
         .groupBy("fold_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("fold_id")
@@ -249,7 +253,9 @@ def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_FOLD_SQL = """
 SELECT fold_id, count(*) AS n_docs, min(doc_id) AS first_doc
-FROM (SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) % 5 AS fold_id FROM documents)
+FROM (SELECT doc_id,
+             CAST(CAST('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INTEGER) AS fold_id
+      FROM documents)
 GROUP BY fold_id ORDER BY fold_id
 """
 
@@ -294,7 +300,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_SESSIONIZE_SQL = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -302,8 +302,8 @@ def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CER_SQL = f"""
 SELECT count(*) AS total_instances,
-       sum(chars) AS total_chars,
-       sum(errs) AS total_char_errs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(errs) AS BIGINT) AS total_char_errs,
        round(CAST(sum(errs) AS DOUBLE) / sum(chars), 6) AS avg_ler
 FROM (
   SELECT g.doc_id, length(g.gt) AS chars, levenshtein(g.gt, p.pred) AS errs

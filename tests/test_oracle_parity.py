@@ -1,18 +1,24 @@
-"""Run every oracle-able query on Spark and DuckDB at sf0.001 and compare
-row counts + sorted values — a local replica of the driver's correctness
-gate so mismatches surface before the round ends."""
+"""Run every oracle-able query on Spark and DuckDB and compare with the
+DRIVER's semantics: both results land in pandas, columns sorted by name,
+rows sorted by all columns, then compared value-exactly AND dtype-exactly
+(the driver's canonical hash is dtype-sensitive — a DuckDB HUGEINT sum that
+arrives as float64 hash-mismatches an identical Spark int64, which is how
+q_cer_eval/q_sessionize failed in round 1 despite equal values).
 
-import math
+Queries run at sf0.01 — the SF the driver checks at."""
 
+import numpy as np
 import duckdb
+import pandas as pd
 import pytest
 
 from calamari_spark.plans.registry import QUERIES
 from calamari_spark.sources.tables import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 
 ORACLED = sorted(name for name, (_, sql) in QUERIES.items() if sql is not None)
+ROWS_ONLY = sorted(name for name, (_, sql) in QUERIES.items() if sql is None)
 
 
 def _duck_con():
@@ -22,40 +28,61 @@ def _duck_con():
     return con
 
 
-def _normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = f"{v:.6f}"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization: columns sorted by name, rows sorted by
+    all columns, index dropped. Raises (like the driver does) on columns
+    that pandas cannot sort — e.g. nested arrays — so unserializable driver
+    payloads fail locally first."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _assert_frames_match(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame):
+    """Driver-calibrated compare. Round-1 evidence: int32-vs-int64 and
+    datetime[ns]-vs-[us] hashed EQUAL under the driver, but int64-vs-float64
+    (DuckDB HUGEINT sums) hashed DIFFERENT — i.e. the hash behaves like a
+    string render of each value. So: fail on dtype-KIND mismatch (the
+    HUGEINT class, with a readable message), then compare string renders."""
+    assert sorted(sdf.columns) == sorted(ddf.columns), f"{name}: column mismatch"
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} != {len(ddf)}"
+    s, d = _canon(sdf), _canon(ddf)
+    mism = [
+        (c, str(s[c].dtype), str(d[c].dtype))
+        for c in s.columns
+        if s[c].dtype.kind != d[c].dtype.kind
+    ]
+    assert not mism, (
+        f"{name}: dtype KIND mismatch (spark vs oracle) {mism} — "
+        "an int-vs-float mismatch hash-fails under the driver "
+        "(e.g. DuckDB HUGEINT sums arriving as float64: CAST(... AS BIGINT))"
+    )
+    for c in s.columns:
+        a = np.asarray(s[c].astype(str))
+        b = np.asarray(d[c].astype(str))
+        bad = np.flatnonzero(a != b)
+        assert bad.size == 0, (
+            f"{name}: column {c} differs at {bad[:3].tolist()}: "
+            f"{[(a[i], b[i]) for i in bad[:3]]}"
+        )
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
     fn, sql = QUERIES[name]
-    # extraction oracles embed the committed sf0.01 fixture path (the SF the
-    # driver runs oracles at), so their Spark side must run at sf0.01 too
-    sf_dir = "/root/testdata/sf0.01" if name.startswith("x_") else SF_DIR
-    sdf = fn(spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
+    sdf = fn(spark, SF_DIR).toPandas()
     con = _duck_con()
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    ddf = con.execute(sql).df()
+    _assert_frames_match(name, sdf, ddf)
 
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} != {len(duck_rows)}"
-    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_canonicalizes(spark, name):
+    """Rows-only queries still pass through the driver's pandas
+    canonicalization — this catches unhashable nested payloads (round 1's
+    x_recognize_positions error) before the driver does."""
+    fn, _ = QUERIES[name]
+    pdf = fn(spark, SF_DIR).toPandas()
+    _canon(pdf)  # must not raise
+    assert len(pdf) >= 0

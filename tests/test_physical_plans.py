@@ -58,6 +58,17 @@ def test_text_pipeline_queries_have_no_python_nodes(spark):
         assert "ArrowEvalPython" not in plan, q.__name__
 
 
+def test_fold_assign_has_no_global_window(spark):
+    """Fold assignment is a pure per-row hash map: no Window node and no
+    single-partition exchange before the aggregate (the round-1 row_number
+    variant funneled every row through one task)."""
+    from calamari_spark.plans.relational import q_fold_assign
+
+    plan = _plan(q_fold_assign(spark, SF))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan.split("Sort")[0]
+
+
 def test_ann_query_broadcasts_query_set(spark):
     from calamari_spark.plans.annplans import q_ann_cosine_topk, q_ann_ivf_topk
 
