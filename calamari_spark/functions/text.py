@@ -248,11 +248,11 @@ def nfc_column(col: Column) -> Column:
     """NFC normalization. Spark has no native NFC; use a pandas UDF only
     when the corpus can contain decomposed sequences — for ASCII-clean
     corpora this is the identity and we keep it JVM-side."""
-    from pyspark.sql.pandas.functions import pandas_udf
     import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
-    return _nfc(col)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(col)

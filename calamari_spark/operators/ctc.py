@@ -210,6 +210,202 @@ def prefix_beam_decode(
 
 
 # ---------------------------------------------------------------------------
+# Word-beam search with a unigram/bigram word LM
+# (reference: thirdparty/ctcwordbeamsearch/{LanguageModel,Beam,WordBeamSearch}.py,
+#  wrapper ocr/model/ctcdecoder/ctcwordbeamsearchdecoder.py:9-26)
+# ---------------------------------------------------------------------------
+
+class WordLM:
+    """Unigram/bigram word LM with add-k smoothing over a training corpus
+    string — probability semantics match the reference LM
+    (LanguageModel.py:9-109) so its inline fixtures hold:
+    unigram(w) = count(w)/N; bigram counts get +k and normalize over
+    (unique_words*k + counts); unseen-bigram fallback
+    k / (unigram(w1)*U + U); unseen words score 0."""
+
+    def __init__(self, corpus: str, chars: str, word_chars: str, add_k: float = 1.0):
+        import re as _re
+
+        self.chars = chars
+        self.word_chars = word_chars
+        word_re = "[" + _re.escape(word_chars) + "]+"
+        words = _re.findall(word_re, corpus)
+        self.n_words = len(words)
+        uniq = sorted(set(words))
+        self.n_unique = len(uniq)
+        self.add_k = add_k
+
+        self.unigrams: Dict[str, float] = defaultdict(float)
+        for w in words:
+            self.unigrams[w.lower()] += 1.0 / self.n_words
+
+        counts: Dict[str, Dict[str, float]] = {}
+        for w1, w2 in zip(words, words[1:]):
+            d = counts.setdefault(w1.lower(), {})
+            # first sighting seeds the +k smoothing mass (reference quirk:
+            # LanguageModel.py:40-41 adds k once, then 1 per occurrence)
+            d[w2.lower()] = d.get(w2.lower(), self.add_k) + 1.0
+        self.bigrams: Dict[str, Dict[str, float]] = {}
+        for w1, d in counts.items():
+            total = self.n_unique * self.add_k + sum(d.values())
+            self.bigrams[w1] = {w2: c / total for w2, c in d.items()}
+
+        self._tree = PrefixTree()
+        self._words_by_prefix_cache: Dict[str, List[str]] = {}
+        self._vocab = uniq
+        for w in uniq:
+            self._tree.add([ord(c) for c in w])
+        self.non_word_chars = "".join(
+            sorted(set(chars) - set(word_chars))
+        )
+
+    def unigram(self, w: str) -> float:
+        return self.unigrams.get(w.lower(), 0.0)
+
+    def bigram(self, w1: str, w2: str) -> float:
+        d = self.bigrams.get(w1.lower())
+        if d is None:
+            return 0.0
+        v = d.get(w2.lower())
+        if v is not None:
+            return v
+        return self.add_k / (self.unigram(w1) * self.n_unique + self.n_unique)
+
+    def is_word(self, text: str) -> bool:
+        node = self._tree
+        for c in text:
+            node = node.children.get(ord(c))
+            if node is None:
+                return False
+        return node.is_word
+
+    def next_chars(self, prefix: str) -> str:
+        labels = self._tree.next_labels([ord(c) for c in prefix])
+        out = "".join(sorted(chr(l) for l in labels))
+        if prefix == "" or self.is_word(prefix):
+            out += self.non_word_chars
+        return out
+
+    def next_words(self, prefix: str) -> List[str]:
+        if prefix not in self._words_by_prefix_cache:
+            self._words_by_prefix_cache[prefix] = [
+                w for w in self._vocab if w.startswith(prefix)
+            ]
+        return self._words_by_prefix_cache[prefix]
+
+
+class _WBeam:
+    """One word-beam: optical (p_blank, p_non_blank) + textual LM state."""
+
+    __slots__ = ("text", "pb", "pnb", "word_hist", "word_dev", "pr_unnorm", "pr_lm")
+
+    def __init__(self, text=""):
+        self.text = text
+        self.pb, self.pnb = 0.0, 0.0
+        self.word_hist: Tuple[str, ...] = ()
+        self.word_dev = ""
+        self.pr_unnorm = 1.0
+        self.pr_lm = 1.0
+
+    def score(self) -> float:
+        return (self.pb + self.pnb) * self.pr_lm
+
+
+def _wbeam_child(beam: _WBeam, lm: WordLM, ch: str, use_ngrams: bool) -> _WBeam:
+    """Extend a beam's textual state by one char (Beam.py:63-123 semantics)."""
+    b = _WBeam(beam.text + ch)
+    b.word_hist, b.word_dev = beam.word_hist, beam.word_dev
+    b.pr_unnorm, b.pr_lm = beam.pr_unnorm, beam.pr_lm
+    if ch == "":
+        return b
+    if not use_ngrams:
+        b.word_dev = b.word_dev + ch if ch in lm.word_chars else ""
+        return b
+    if ch in lm.word_chars:
+        b.word_dev += ch
+        # developing word: score optimistically with the total probability
+        # mass of every dictionary word this prefix can still become
+        nxt = lm.next_words(b.word_dev)
+        if not b.word_hist:
+            pr_sum = sum(lm.unigram(w) for w in nxt)
+        else:
+            pr_sum = sum(lm.bigram(b.word_hist[-1], w) for w in nxt)
+        b.pr_lm = b.pr_unnorm * pr_sum
+        n = len(b.word_hist)
+        if n >= 1:
+            b.pr_lm = b.pr_lm ** (1.0 / (n + 1))
+    else:
+        if b.word_dev:
+            b.word_hist = b.word_hist + (b.word_dev,)
+            b.word_dev = ""
+            n = len(b.word_hist)
+            if n == 1:
+                b.pr_unnorm *= lm.unigram(b.word_hist[-1])
+                b.pr_lm = b.pr_unnorm
+            else:
+                b.pr_unnorm *= lm.bigram(b.word_hist[-2], b.word_hist[-1])
+                b.pr_lm = b.pr_unnorm ** (1.0 / n)
+    return b
+
+
+def word_beam_decode(
+    probabilities: np.ndarray,
+    charset: Sequence[str],
+    lm: WordLM,
+    beam_width: int = 25,
+    use_ngrams: bool = True,
+) -> str:
+    """Word-beam search: dictionary-constrained beams, rescored by the word
+    LM (unigram for the first word, bigram after; in-progress words score
+    by the summed probability of their possible completions). Matches the
+    reference algorithm (WordBeamSearch.py:7-64) on its inline fixtures.
+    Blank is the LAST matrix column (reference convention for this decoder;
+    the caller rolls our blank-first softmax)."""
+    T = probabilities.shape[0]
+    blank = len(charset)
+    col = {c: i for i, c in enumerate(charset)}
+
+    genesis = _WBeam()
+    genesis.pb = 1.0
+    last: Dict[str, _WBeam] = {"": genesis}
+
+    def add(pool: Dict[str, _WBeam], b: _WBeam) -> None:
+        cur = pool.get(b.text)
+        if cur is None:
+            pool[b.text] = b
+        else:  # merge optical mass; first-in textual state wins
+            cur.pb += b.pb
+            cur.pnb += b.pnb
+
+    for t in range(T):
+        row = probabilities[t]
+        cur: Dict[str, _WBeam] = {}
+        best = sorted(last.values(), key=lambda b: -b.score())[:beam_width]
+        for beam in best:
+            ptot = beam.pb + beam.pnb
+            # stay on the same text: blank, or repeat of the last char
+            stay = _wbeam_child(beam, lm, "", use_ngrams)
+            stay.pb = ptot * row[blank]
+            if beam.text:
+                stay.pnb = beam.pnb * row[col[beam.text[-1]]]
+            add(cur, stay)
+            for c in lm.next_chars(beam.word_dev):
+                ext = _wbeam_child(beam, lm, c, use_ngrams)
+                base = beam.pb if (beam.text and beam.text[-1] == c) else ptot
+                ext.pnb = row[col[c]] * base
+                add(cur, ext)
+        last = cur
+
+    # complete dangling prefixes that have exactly one dictionary completion
+    for b in last.values():
+        if b.word_dev and not lm.is_word(b.word_dev):
+            cands = lm.next_words(b.word_dev)
+            if len(cands) == 1:
+                b.text += cands[0][len(b.word_dev):]
+    return max(last.values(), key=lambda b: b.score()).text
+
+
+# ---------------------------------------------------------------------------
 # Graves token passing (dictionary decoding)
 # ---------------------------------------------------------------------------
 

@@ -118,48 +118,70 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: the 100 TB scale path for q_ann_cosine_topk.
 
     Build: every vector is assigned to its nearest of ``IVF_CELLS`` coarse
-    centroids (a broadcast of 8 rows — one scan, no self-join). Search:
-    each query probes its ``IVF_NPROBE`` nearest cells and ranks only those
-    candidates. At 10^12 vectors the assignment is the partition key
-    (cluster-pruned scan); recall < 1 by construction — the brute-force
+    centroids. The centroids are a tiny model constant (at 100 TB they come
+    from a k-means fit), so they enter the plan as a LITERAL array and the
+    assignment is a pure per-row map — cosines against all cells as an array
+    column, argmax via array_max over (cos, -cent_id) structs. Zero joins,
+    zero windows, zero shuffles until the final per-query top-k (the round-1
+    variant shuffled an 8x-exploded corpus through a per-vector window).
+    Search: each query probes its ``IVF_NPROBE`` nearest cells and ranks
+    only those candidates. Recall < 1 by construction — the brute-force
     twin above is the exactness baseline."""
+    import math
+
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = emb.filter(
-        (F.col("vec_id") >= IVF_CENTROID_BASE)
-        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_CELLS)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") >= IVF_CENTROID_BASE)
+            & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+        .collect()  # IVF_CELLS rows: the model constant, not data
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in r["c_emb"]]).alias("c_emb"),
+                F.lit(math.sqrt(sum(float(v) ** 2 for v in r["c_emb"]))).alias("c_norm"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cent_id"])
+        ]
+    )
 
     def cos(a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 
-    # nearest cell per vector (ties -> lower centroid id)
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "c_cos", cos(F.col("embedding"), F.col("c_emb"))
+    # per-row scored cells: struct(neg_cos, cent_id) so ascending sort /
+    # array_min ordering = cosine DESC, ties -> lower centroid id
+    scored_cells = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            (-(_dot(F.col("embedding"), c["c_emb"]) / (F.col("e_norm") * c["c_norm"]))).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
     )
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cent_id")
     assign = (
-        scored.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
+        emb.withColumn("e_norm", _norm(F.col("embedding")))
+        .withColumn("cent_id", F.array_min(scored_cells)["cent_id"])
         .select("vec_id", "embedding", "cent_id")
     )
 
-    queries = assign.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    # nprobe nearest cells per query
-    q_cells = (
-        queries.join(F.broadcast(cents))
-        .withColumn("c_cos", cos(F.col("q_emb"), F.col("c_emb")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.desc("c_cos"), "cent_id")
-            ),
+    # nprobe nearest cells per query: same literal, sort + slice + explode
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("e_norm", _norm(F.col("embedding")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
+            ).alias("probe"),
         )
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "q_emb", "cent_id")
     )
-    cand = q_cells.join(
+    q_cells = queries.select("query_id", "q_emb", F.col("probe")["cent_id"].alias("cent_id"))
+    # broadcast the tiny probe set; the assigned corpus streams through once
+    cand = F.broadcast(q_cells).join(
         assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e"), "cent_id"),
         "cent_id",
     ).filter(F.col("cand_id") != F.col("query_id"))

@@ -115,7 +115,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_parts() -> tuple:
+    """(ctes, pair_select) shared by the pair oracle and the cluster oracle."""
     hash_cols = ",\n         ".join(
         f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
     )
@@ -130,8 +131,7 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
     )
-    return f"""
-WITH shingles AS ({_SHINGLES_SQL}),
+    ctes = f"""shingles AS ({_SHINGLES_SQL}),
 sig AS (
   SELECT doc_id,
          {hash_cols}
@@ -145,14 +145,106 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
+)"""
+    pair_select = f"""SELECT doc_a, doc_b,
        round(({matches}) / {N_HASHES}.0, 6) AS minhash_sim
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
-WHERE ({matches}) / {N_HASHES}.0 >= {MIN_SIM}
+WHERE ({matches}) / {N_HASHES}.0 >= {MIN_SIM}"""
+    return ctes, pair_select
+
+
+def _minhash_oracle() -> str:
+    ctes, pair_select = _minhash_parts()
+    return f"""
+WITH {ctes}
+{pair_select}
 ORDER BY doc_a, doc_b
+"""
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve candidate pairs (doc_a, doc_b) to clusters: every member gets
+    the cluster's min doc_id as its label. Iterative min-label propagation —
+    per round, one shuffle join (edges x labels) + one groupBy; rounds =
+    graph diameter, which for near-dup clusters is tiny (dup clusters are
+    dense). Each round localCheckpoints to cut lineage so the plan stays
+    linear at any scale; convergence is an exact no-change fixpoint.
+
+    This is the keeper-assignment step every training-data dedup pipeline
+    needs after LSH emits pairs (the reference stops at pair level, so this
+    is an LLM-pipeline extension, not reference parity)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nbr_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+            .select(F.col("src").alias("doc_id"), "min_nbr")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("min_nbr", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("keeper"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs -> connected components -> (doc_id, keeper, is_duplicate):
+    the materialized keep/drop decision for the dedup pipeline."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper"))
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    """Transitive closure via a recursive CTE over the same LSH pairs."""
+    ctes, pair_select = _minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pair_select}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS keeper,
+       least(src, min(dst)) != src AS is_duplicate
+FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
@@ -223,5 +315,6 @@ SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM agg ORDER BY doc_id
 
 DEDUP_QUERIES = {
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_oracle()),
+    "q_dedup_clusters": (q_dedup_clusters, _clusters_oracle()),
     "q_simhash": (q_simhash, _simhash_oracle()),
 }

@@ -119,6 +119,50 @@ FROM read_parquet('{media}')
 """
 
 
+CER_BIN = 0.05  # histogram bin width (reference: scripts/eval.py:52-135)
+
+
+def q_cer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line CER histogram (reference: scripts/eval.py:52-135 renders a
+    matplotlib histogram; the aggregation itself is floor(ler/bin) groupBy).
+    One partial-aggregated shuffle on the bucket key — scale-safe."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_line = _gt_pred(docs).select(
+        (F.levenshtein("gt", "pred") / F.length("gt")).alias("ler")
+    )
+    return (
+        per_line.withColumn("bucket", F.floor(F.col("ler") / CER_BIN).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("ler"), 6).alias("avg_ler_in_bucket"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * CER_BIN, 2))
+        .select("bucket", "bucket_lo", "n_lines", "avg_ler_in_bucket")
+        .orderBy("bucket")
+    )
+
+
+Q_CER_HIST_SQL = f"""
+SELECT bucket,
+       round(bucket * {CER_BIN}, 2) AS bucket_lo,
+       count(*) AS n_lines,
+       round(avg(ler), 6) AS avg_ler_in_bucket
+FROM (
+  SELECT CAST(floor(ler / {CER_BIN}) AS INTEGER) AS bucket, ler
+  FROM (
+    SELECT CAST(levenshtein(gt, pred) AS DOUBLE) / length(gt) AS ler
+    FROM (
+      SELECT {_REG_SQL} AS gt,
+             replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred
+      FROM documents
+    )
+  )
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 def x_avg_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean sentence confidence over the recognize output (reference:
     scripts/predict.py:177-178). Confidence comes from the voter internals:
@@ -140,6 +184,7 @@ def _sfq(fn, oracle_fn=None):
 
 EVAL_QUERIES = {
     "q_worst_lines": (q_worst_lines, Q_WORST_SQL),
+    "q_cer_histogram": (q_cer_histogram, Q_CER_HIST_SQL),
     "x_confusions": (x_confusions, None),
     "x_dataset_stats": _sfq(x_dataset_stats, x_dataset_stats_oracle),
     "x_avg_confidence": (x_avg_confidence, None),

@@ -266,9 +266,18 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
 # span routing + salted reassembly
 # ---------------------------------------------------------------------------
 
+# the reassembled span struct type (and the empty-doc placeholder's type)
+SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
+    """One row per span. explode_outer, not explode: a document whose spans
+    array is empty or null must still reach the output (contract: output
+    doc_id set == input doc_id set) — it surfaces here as a single row with
+    kind NULL, which the kind-routed branches naturally skip and
+    extract_documents re-emits with an empty spans array."""
     return docs.select(
-        "doc_id", F.explode("spans").alias("span")
+        "doc_id", F.explode_outer("spans").alias("span")
     ).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
@@ -334,7 +343,12 @@ def extract_documents(
         "offset",
     )
 
-    return reassemble_spans(text_spans.unionByName(recognized))
+    # docs with no spans at all (kind NULL from explode_outer) pass through
+    # with an empty spans array — output doc_id set == input doc_id set
+    empty_docs = spans.filter(F.col("kind").isNull()).select(
+        "doc_id", F.array().cast(SPANS_TYPE).alias("spans")
+    )
+    return reassemble_spans(text_spans.unionByName(recognized)).unionByName(empty_docs)
 
 
 def flagship_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +380,10 @@ def golden_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
             "media_ref", "offset",
         )
     )
-    return reassemble_spans(text_spans.unionByName(media_spans))
+    empty_docs = spans.filter(F.col("kind").isNull()).select(
+        "doc_id", F.array().cast(SPANS_TYPE).alias("spans")
+    )
+    return reassemble_spans(text_spans.unionByName(media_spans)).unionByName(empty_docs)
 
 
 def _seq_col() -> F.Column:
@@ -599,6 +616,69 @@ def x_media_text_beam_oracle(sf_dir: str) -> str:
     )
 
 
+def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-beam search WITH unigram-LM scoring as a distributed stage
+    (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM). The LM's
+    word counts come from one tiny Spark agg over the corpus (at 100 TB the
+    LM is trained offline the same way and shipped as a model constant —
+    like the IVF centroids). Each line's first word is decoded from a
+    deterministic GT-derived softmax through the LM-constrained beam, so
+    the oracle is the GT's first word."""
+    docs, media = load_interleaved(spark, sf_dir)
+    lines = media.select("media_ref", "gt")
+
+    # vocabulary + counts: the LM training agg (one shuffle over tiny data)
+    counts = (
+        lines.select(F.explode(F.split("gt", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab = sorted((r["w"], int(r["count"])) for r in counts)
+    charset = "".join(sorted({c for w, _ in vocab for c in w}))
+    lm_corpus = " ".join(w for w, n in vocab for _ in range(min(n, 50)))
+
+    schema = "media_ref string, first_word string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.ctc import WordLM, word_beam_decode
+
+        key = f"wordlm:{len(vocab)}:{charset}"
+        if key not in _WORKER_STATE:
+            _WORKER_STATE[key] = WordLM(lm_corpus, charset, charset)
+        lm = _WORKER_STATE[key]
+        col = {c: i for i, c in enumerate(charset)}
+        blank = len(charset)
+        for b in batches:
+            rows = []
+            for ref, gt in zip(b["media_ref"], b["gt"]):
+                word = gt.split(" ")[0]
+                mat = np.full((2 * len(word), len(charset) + 1), 1e-4)
+                for i, ch in enumerate(word):
+                    mat[2 * i, col[ch]] = 1.0
+                    mat[2 * i + 1, blank] = 1.0
+                mat /= mat.sum(axis=1, keepdims=True)
+                out = word_beam_decode(mat, charset, lm, beam_width=10, use_ngrams=True)
+                rows.append({"media_ref": ref, "first_word": out})
+            yield pd.DataFrame(rows, columns=["media_ref", "first_word"])
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    return (
+        lines.repartition(n_part, "media_ref")
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_ref")
+    )
+
+
+def x_media_text_wordlm_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return (
+        f"SELECT media_ref, string_split(gt, ' ')[1] AS first_word"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
+    )
+
+
 def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNN-BiLSTM ensemble plumbing on pinned seeded weights (reference
     weights are absent — .MISSING_LARGE_BLOBS — so the decoded text is not
@@ -776,6 +856,7 @@ EXTRACTION_QUERIES = {
     "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
+    "x_media_text_wordlm": _sfq(x_media_text_wordlm, x_media_text_wordlm_oracle),
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
     "x_recognize_positions": (x_recognize_positions, None),

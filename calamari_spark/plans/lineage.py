@@ -141,11 +141,17 @@ def run_extraction_job(
                 "lines_per_sec", F.round(F.col("n_media") / F.lit(max(wall, 1e-9)), 2)
             )
         )
-        stats.write.mode("append").parquet(metrics_dir)
+        # lineage commits FIRST: a kill between the two writes loses this
+        # wave's metrics rows but never leaves a stale metrics row claiming
+        # output that a later run overwrote; read_metrics additionally
+        # filters to (bucket, run_id) pairs present in lineage, so a stale
+        # row from a kill-between-metrics-and-lineage in the OLD order (or
+        # hand-edited tables) can't double-count either
         lineage = spark.createDataFrame(
             [(int(b), run_id) for b in wave], "bucket int, run_id string"
         )
         lineage.write.mode("append").parquet(lineage_dir)
+        stats.write.mode("append").parquet(metrics_dir)
         done.update(wave)
         n_done_waves += 1
 
@@ -162,4 +168,9 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "metrics"))
+    """Metrics rows for committed buckets only: a (bucket, run_id) row
+    counts only if that exact pair is in the lineage table — stale rows
+    from interrupted runs are invisible to consumers."""
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    return metrics.join(lineage, ["bucket", "run_id"], "left_semi")

@@ -419,8 +419,92 @@ def _regularize_extended_sql() -> str:
     return f"SELECT doc_id, {expr} AS clean_text FROM documents ORDER BY doc_id"
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization driver query (reference: text_normalizer.py:24-28).
+    The corpus is ASCII, so a decomposed sequence is synthesized
+    deterministically first ('e' -> 'e' + COMBINING ACUTE U+0301); NFC must
+    recompose it to the single codepoint U+00E9, shrinking the char count.
+    The Python-side NFC runs as an Arrow-batched pandas UDF (nfc_column)."""
+    from calamari_spark.functions.text import nfc_column
+
+    docs = load_table(spark, "documents", sf_dir)
+    decomposed = F.replace(
+        _regularized_col(F.col("text")), F.lit("e"), F.lit("e\u0301")
+    )
+    out = docs.select("doc_id", decomposed.alias("decomposed"))
+    return (
+        out.select(
+            "doc_id",
+            F.length("decomposed").alias("n_decomposed"),
+            nfc_column(F.col("decomposed")).alias("normalized"),
+        )
+        .withColumn("n_nfc", F.length("normalized"))
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       length(decomposed) AS n_decomposed,
+       nfc_normalize(decomposed) AS normalized,
+       length(nfc_normalize(decomposed)) AS n_nfc
+FROM (SELECT doc_id, replace({_REG_SQL}, 'e', 'e' || chr(769)) AS decomposed FROM documents)
+ORDER BY doc_id
+"""
+
+
+# deterministic Latin->Hebrew mapping used to synthesize RTL runs for the
+# bidi display query ('a'..'v' -> U+05D0..U+05E5; the corpus is a-z digits)
+_HEBREW_BASE = 0x05D0
+
+
+def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidi display reordering (reference: basic_text_processors.py:61-67,
+    python-bidi). RTL runs are synthesized deterministically: every word at
+    an odd position is mapped to Hebrew codepoints, then the logical line is
+    reordered for display with bidi_str. The UAX#9 run reversal is not
+    SQL-expressible: rows-only driver check."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.select("doc_id", _regularized_col(F.col("text")).alias("clean"))
+
+    schema = "doc_id long, logical string, display string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.functions.text import bidi_str
+
+        def to_rtl(word: str) -> str:
+            return "".join(
+                chr(_HEBREW_BASE + (ord(c) - ord("a")) % 22) if "a" <= c <= "z" else c
+                for c in word
+            )
+
+        for b in batches:
+            rows = []
+            for doc_id, clean in zip(b["doc_id"], b["clean"]):
+                words = clean.split(" ")
+                logical = " ".join(
+                    to_rtl(w) if i % 2 == 1 else w for i, w in enumerate(words)
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "logical": logical,
+                        "display": bidi_str(logical),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "logical", "display"])
+
+    return src.mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
 TEXT_QUERIES = {
     "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
+    "q_text_normalize": (q_text_normalize, Q_TEXT_NORMALIZE_SQL),
+    "q_bidi_display": (q_bidi_display, None),
     "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),

@@ -42,6 +42,9 @@ def parse_page(xml_str: str, skip_commented: bool = False) -> List[dict]:
     order = 0
     for region in root.iter(_q("TextRegion")):
         region_id = region.get("id", "")
+        # region orientation drives the deskew rotation at cutout time
+        # (reference: reader.py:128, :666 — textline.getparent().orientation)
+        orientation = float(region.get("orientation", "0"))
         for line in region.findall(_q("TextLine")):
             if skip_commented and line.get("comments"):
                 continue
@@ -62,6 +65,7 @@ def parse_page(xml_str: str, skip_commented: bool = False) -> List[dict]:
                     "region_id": region_id,
                     "order": order,
                     "coords": coords,
+                    "orientation": orientation,
                     "text": text,
                 }
             )
@@ -93,7 +97,7 @@ def write_predictions(xml_str: str, predictions: Dict[str, Tuple[str, float]]) -
 
 
 def coords_to_box(coords: str) -> Tuple[int, int, int, int]:
-    """Polygon points -> minimal bounding rect (x0, y0, x1, y1) — the 'mbr'
+    """Polygon points -> minimal bounding rect (x0, y0, x1, y1) — the 'box'
     cut mode (reference: pagexml/reader.py:283-391)."""
     pts = [tuple(int(v) for v in p.split(",")) for p in coords.split() if "," in p]
     if not pts:
@@ -103,7 +107,9 @@ def coords_to_box(coords: str) -> Tuple[int, int, int, int]:
 
 
 def cutout_box(img, coords: str):
-    """Cut the MBR region of a polygon out of a page image (numpy)."""
+    """Cut the axis-aligned bounding region of a polygon out of a page
+    image (numpy). Polygon masking + rotation live in
+    calamari_spark.operators.cutout.cutout (the full reference semantics)."""
     x0, y0, x1, y1 = coords_to_box(coords)
     return img[max(0, y0) : y1, max(0, x0) : x1]
 
@@ -114,8 +120,12 @@ def cutout_box(img, coords: str):
 
 PAGE_LINES_SCHEMA = (
     "doc_id string, line_id string, region_id string, `order` int,"
-    " coords string, text string"
+    " coords string, orientation double, text string"
 )
+
+_PAGE_LINE_COLS = [
+    "doc_id", "line_id", "region_id", "order", "coords", "orientation", "text"
+]
 
 
 def read_pagexml(pages: DataFrame) -> DataFrame:
@@ -127,11 +137,49 @@ def read_pagexml(pages: DataFrame) -> DataFrame:
             for doc_id, xml_str in zip(b["doc_id"], b["xml"]):
                 for r in parse_page(xml_str):
                     rows.append({"doc_id": doc_id, **r})
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "line_id", "region_id", "order", "coords", "text"]
-            )
+            yield pd.DataFrame(rows, columns=_PAGE_LINE_COLS)
 
     return pages.mapInPandas(run, schema=PAGE_LINES_SCHEMA)
+
+
+def cutout_lines(pages_with_png: DataFrame, cut_mode: str = "polygon") -> DataFrame:
+    """(doc_id, xml, png) pages -> one row per line with the line image cut
+    out of the page (polygon-masked, deskewed by the region orientation) and
+    re-encoded as PNG — the reference's load path (reader.py:655-688) as one
+    mapInPandas stage. The page image decodes ONCE per page per batch and
+    serves all its lines; downstream OCR shuffles only the (small) line
+    crops, never the page scans."""
+    from calamari_spark.operators.cutout import CutMode, cutout
+    from calamari_spark.sources.pngio import decode_png, encode_png
+
+    mode = {"box": CutMode.BOX, "polygon": CutMode.POLYGON, "mbr": CutMode.MBR}[cut_mode]
+    schema = PAGE_LINES_SCHEMA + ", line_png binary, line_w int, line_h int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, xml_str, png in zip(b["doc_id"], b["xml"], b["png"]):
+                img = decode_png(bytes(png))
+                for r in parse_page(xml_str):
+                    # rotate by orientation angle in clockwise direction to
+                    # correct present skew (reference: reader.py:666-667)
+                    o = r["orientation"]
+                    angle = o if o and o % 360 != 0 else 0
+                    line_img = cutout(img, r["coords"], mode=mode, angle=angle)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **r,
+                            "line_png": encode_png(line_img),
+                            "line_w": int(line_img.shape[1]) if line_img.ndim == 2 else 0,
+                            "line_h": int(line_img.shape[0]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=_PAGE_LINE_COLS + ["line_png", "line_w", "line_h"]
+            )
+
+    return pages_with_png.mapInPandas(run, schema=schema)
 
 
 def store_pagexml(pages: DataFrame, predictions: DataFrame) -> DataFrame:

@@ -6,9 +6,12 @@ base.py:57-63, and the queue-style raw predictor, docs/source/
 doc.predicting.rst:36-50). This module is the Spark-native stretch the
 north star's continuous-corpus setting implies: newly landed document
 files are discovered by a file-source stream and flow through the SAME
-``extract_documents`` plan per micro-batch (foreachBatch), with exactly-once
-progress tracked by the streaming checkpoint — the streaming twin of the
-batch job's per-bucket lineage.
+``extract_documents`` plan per micro-batch (foreachBatch). Source progress
+is tracked by the streaming checkpoint; the sink is made effectively
+exactly-once by writing each micro-batch into its own ``batch_id=N``
+partition with dynamic partition overwrite — a batch replayed after a
+crash-between-write-and-commit OVERWRITES its own partition instead of
+appending duplicates (foreachBatch alone is only at-least-once).
 
 ``Trigger.AvailableNow`` drains everything currently pending and stops, so
 the same entry point serves both "catch up then exit" cron runs and (with
@@ -36,9 +39,12 @@ def stream_extract(
     """File-source stream of documents parquet -> extraction -> parquet sink.
 
     media is the (static) line-image store; a stream-static equi-join in
-    every micro-batch. Output appends to ``out_dir/extracted``; the stream
-    checkpoint lives in ``out_dir/checkpoint`` (restart-safe: already
-    processed input files are never re-read)."""
+    every micro-batch. Output lands in ``out_dir/extracted/batch_id=N``
+    (idempotent per batch — see module docstring); the stream checkpoint
+    lives in ``out_dir/checkpoint`` (restart-safe: already processed input
+    files are never re-read)."""
+    from pyspark.sql import functions as F
+
     from calamari_spark.plans.extraction import extract_documents
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -52,7 +58,17 @@ def stream_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extract_documents(batch_df, media).write.mode("append").parquet(sink)
+        out = extract_documents(batch_df, media).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        # dynamic overwrite of exactly this batch's partition: a replayed
+        # batch rewrites batch_id=N in place instead of appending twice
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink)
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)
@@ -72,4 +88,5 @@ def drain(query: StreamingQuery, timeout_s: int = 600) -> None:
 
 
 def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "extracted"))
+    out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    return out.drop("batch_id")  # sink-idempotence partition key, not payload

