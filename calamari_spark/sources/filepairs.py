@@ -60,11 +60,23 @@ def read_file_pairs(
 def to_pred_files(predictions: DataFrame, out_dir: str,
                   pred_extension: str = ".pred.txt") -> int:
     """Materialize `<id>.pred.txt` files (reference sink layout,
-    file.py:208-213). Collect is deliberate: this compatibility sink is for
-    small exports; the scale sink is the predictions parquet/Iceberg table."""
-    rows = predictions.select("id", "sentence").collect()
+    file.py:208-213). Executor-parallel: each partition writes its own
+    files via foreachPartition — no driver collect, so the sink holds at
+    any row count (out_dir must be a shared filesystem on a real cluster;
+    the scale sink proper is the predictions parquet/Iceberg table)."""
     os.makedirs(out_dir, exist_ok=True)
-    for r in rows:
-        with open(os.path.join(out_dir, r["id"] + pred_extension), "w") as f:
-            f.write(r["sentence"])
-    return len(rows)
+
+    def write_partition(rows) -> None:
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            path = _os.path.join(out_dir, r["id"] + pred_extension)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(r["sentence"])
+            _os.replace(tmp, path)  # atomic per file: task retries are safe
+
+    picked = predictions.select("id", "sentence")
+    picked.foreachPartition(write_partition)
+    return picked.count()

@@ -1,0 +1,63 @@
+"""Codec-embedded container (HDF5-analog) round-trip tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from calamari_spark.sources.h5container import (
+    read_codec,
+    read_h5_container,
+    store_predictions,
+    write_h5_container,
+)
+
+
+def test_roundtrip_decodes_through_embedded_codec(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a/0", "hello world"), ("a/1", "dew"), ("a/2", "old hold")],
+        "id string, text string",
+    )
+    path = str(tmp_path / "c0")
+    codec = write_h5_container(df, path)
+    assert codec == sorted(set("hello world" + "dew" + "old hold"))
+    back = read_h5_container(spark, path)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == {"a/0": "hello world", "a/1": "dew", "a/2": "old hold"}
+    # the stored transcript really is ints indexing the codec
+    raw = spark.read.parquet(f"{path}/data.parquet").first()
+    assert all(isinstance(v, int) for v in raw["transcript"])
+    assert read_codec(spark, path) == codec
+
+
+def test_predictions_reencode_with_source_codec(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_h5_container(
+        spark.createDataFrame([("x/0", "abc cab")], "id string, text string"), src
+    )
+    preds = spark.createDataFrame([("x/0", "bac")], "id string, sentence string")
+    out = str(tmp_path / "pred")
+    store_predictions(preds, src, out)
+    back = read_h5_container(spark, out)
+    assert back.first()["text"] == "bac"
+
+
+def test_out_of_codec_prediction_raises(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    write_h5_container(
+        spark.createDataFrame([("x/0", "abc")], "id string, text string"), src
+    )
+    preds = spark.createDataFrame([("x/0", "abz")], "id string, sentence string")
+    with pytest.raises(ValueError, match="not in the source codec"):
+        store_predictions(preds, src, str(tmp_path / "pred2"))
+
+
+def test_images_ride_along(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("i/0", "hi", bytearray(b"\x01\x02\x03\x04\x05\x06"), [2, 3])],
+        "id string, text string, image binary, dims array<int>",
+    )
+    path = str(tmp_path / "c1")
+    write_h5_container(df, path)
+    r = read_h5_container(spark, path).first()
+    assert bytes(r["image"]) == b"\x01\x02\x03\x04\x05\x06"
+    assert r["dims"] == [2, 3]
+    assert r["text"] == "hi"
