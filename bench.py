@@ -32,11 +32,14 @@ HEADLINE = [
     "q_token_count",
     "q_exact_dedup",
     "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
     "q_simhash",
     "q_ngram_jaccard_pairs",
     "q_ann_cosine_topk",
     "q_ann_ivf_topk",
+    "q_embedding_neardup_lsh",
     "q_cer_eval",
+    "q_cer_histogram",
 ]
 EXTRACTION = ["x_extract_docs", "x_image_stats"]
 

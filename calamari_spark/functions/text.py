@@ -244,6 +244,23 @@ def strip_column(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
 
 
+# The spaces ruleset (reference: resources/rulesets/spaces.json) as applied
+# by both engines, in order — the canonical definition shared by every
+# plans module and its oracle SQL.
+SPACES_RULES = [(r"\s+", " "), (r"^\s+", ""), (r"\s+$", "")]
+
+REG_SPACES_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),"
+    " '^\\s+', ''), '\\s+$', '')"
+)
+
+
+def regularized_spaces_col(col: Column) -> Column:
+    for pat, rep in SPACES_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
 def nfc_column(col: Column) -> Column:
     """NFC normalization. Spark has no native NFC; use a pandas UDF only
     when the corpus can contain decomposed sequences — for ASCII-clean

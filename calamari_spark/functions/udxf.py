@@ -1,0 +1,109 @@
+"""Genuine UDAF / UDTF surfaces (SURVEY.md §2.H last row).
+
+The engine's hot paths use mapInPandas everywhere; this module adds the
+remaining user-function shapes Spark 4 offers, each exercised by an
+oracled driver query:
+
+* a **pandas grouped-aggregate UDAF** (Arrow-batched, usable inside
+  ``groupBy(...).agg(...)``) — per-language mean quality proxy;
+* a **Python UDTF** (table function with a lateral join) — sentence
+  splitting, one output row per sentence.
+
+Both are deterministic and SQL-expressible, so the driver checks them
+value-for-value against DuckDB (the point is attesting the FUNCTION
+SURFACE, not the math).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calamari_spark.functions.text import (
+    REG_SPACES_SQL as _REG_SQL,
+    regularized_spaces_col as _regularized_col,
+)
+from calamari_spark.sources.tables import load_table
+
+
+def mean_len_udaf():
+    """Grouped-aggregate pandas UDAF: mean string length (double)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _mean_len(s: pd.Series) -> float:
+        return float(s.str.len().mean())
+
+    _mean_len.__annotations__ = {"s": pd.Series, "return": float}
+    return pandas_udf(_mean_len, "double")
+
+
+def q_udaf_mean_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean clean-text length via a real pandas UDAF inside
+    groupBy().agg() (Arrow transfer; partial aggregation happens Arrow-side
+    per group — at scale the group count, not row count, bounds state)."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = docs.select("lang", _regularized_col(F.col("text")).alias("clean"))
+    agg = mean_len_udaf()
+    return (
+        clean.groupBy("lang")
+        .agg(F.round(agg(F.col("clean")), 6).alias("mean_len"))
+        .orderBy("lang")
+    )
+
+
+Q_UDAF_SQL = f"""
+SELECT lang, round(avg(CAST(length({_REG_SQL}) AS DOUBLE)), 6) AS mean_len
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def register_sentences_udtf(spark: SparkSession) -> None:
+    """A real Python UDTF: one row per '. '-delimited sentence with its
+    index (the table-function shape; reference analog: one sample yielded
+    per line of a page, pagexml/reader.py load loop)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s != "":
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral join against the UDTF: doc_id x its sentences."""
+    docs = load_table(spark, "documents", sf_dir)
+    register_sentences_udtf(spark)
+    docs.select("doc_id", _regularized_col(F.col("text")).alias("clean")).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs, LATERAL split_sentences(clean) s
+        ORDER BY doc_id, sent_idx
+        """
+    )
+
+
+Q_UDTF_SQL = f"""
+SELECT doc_id, CAST(idx - 1 AS INTEGER) AS sent_idx, sentence
+FROM (
+  SELECT doc_id, unnest(parts) AS sentence, generate_subscripts(parts, 1) AS idx
+  FROM (SELECT doc_id, string_split({_REG_SQL}, '. ') AS parts FROM documents)
+)
+WHERE sentence != ''
+ORDER BY doc_id, sent_idx
+"""
+
+
+UDXF_QUERIES = {
+    "q_udaf_mean_len": (q_udaf_mean_len, Q_UDAF_SQL),
+    "q_udtf_sentences": (q_udtf_sentences, Q_UDTF_SQL),
+}

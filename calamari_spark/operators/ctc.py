@@ -354,16 +354,21 @@ def word_beam_decode(
     lm: WordLM,
     beam_width: int = 25,
     use_ngrams: bool = True,
+    allow_word_to_word: bool = False,
 ) -> str:
     """Word-beam search: dictionary-constrained beams, rescored by the word
     LM (unigram for the first word, bigram after; in-progress words score
     by the summed probability of their possible completions). Matches the
     reference algorithm (WordBeamSearch.py:7-64) on its inline fixtures.
-    Blank is the LAST matrix column (reference convention for this decoder;
-    the caller rolls our blank-first softmax)."""
+    allow_word_to_word lets a completed word chain straight into a new
+    word's first char with no separator (WordBeamSearch.py:51-56 — the
+    space-less corpora option). Blank is the LAST matrix column (reference
+    convention for this decoder; the caller rolls our blank-first
+    softmax)."""
     T = probabilities.shape[0]
     blank = len(charset)
     col = {c: i for i, c in enumerate(charset)}
+    start_chars = sorted({w[0] for w in lm._vocab}) if allow_word_to_word else []
 
     genesis = _WBeam()
     genesis.pb = 1.0
@@ -394,6 +399,13 @@ def word_beam_decode(
                 base = beam.pb if (beam.text and beam.text[-1] == c) else ptot
                 ext.pnb = row[col[c]] * base
                 add(cur, ext)
+            if allow_word_to_word and lm.is_word(beam.word_dev):
+                for c in start_chars:
+                    ext = _wbeam_child(beam, lm, c, use_ngrams)
+                    ext.word_dev = c  # new word starts here
+                    base = beam.pb if (beam.text and beam.text[-1] == c) else ptot
+                    ext.pnb = row[col[c]] * base
+                    add(cur, ext)
         last = cur
 
     # complete dangling prefixes that have exactly one dictionary completion

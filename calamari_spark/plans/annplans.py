@@ -109,6 +109,131 @@ ORDER BY id_a, id_b
 """
 
 
+NEARDUP_LSH_BANDS = 4   # OR over bands boosts recall
+NEARDUP_LSH_BITS = 3    # hyperplane signs per band
+NEARDUP_THRESHOLD = 0.40
+EMB_DIM = 64
+
+
+def _hyperplanes() -> "np.ndarray":
+    """Deterministic random hyperplanes, embedded as literals in BOTH the
+    Spark plan and the SQL oracle (a model constant, like IVF centroids)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS, EMB_DIM))
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH bucketing.
+
+    Signature bit = sign(dot(embedding, hyperplane)); a pair is a candidate
+    iff it collides in >=1 of the B bands (R bits each). Only same-bucket
+    rows ever join — candidate generation is linear in corpus + bucket
+    sizes vs the O(n^2) nested-loop of q_embedding_neardup (which remains
+    the bounded exactness demo). Recall < 1 by construction: the oracle
+    implements the identical banded scheme, so the two engines agree
+    exactly on which pairs surface."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    H = _hyperplanes()
+
+    def sign_bit(hvec):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)) for v in hvec]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_keys = [
+        F.concat(
+            *[sign_bit(H[b * NEARDUP_LSH_BITS + r]) for r in range(NEARDUP_LSH_BITS)]
+        ).alias(f"k{b}")
+        for b in range(NEARDUP_LSH_BANDS)
+    ]
+    sig = emb.select("vec_id", "embedding", *band_keys)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
+                    for b in range(NEARDUP_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _neardup_lsh_oracle() -> str:
+    H = _hyperplanes()
+
+    def lit_arr(hvec):
+        return "[" + ", ".join(repr(float(v)) for v in hvec) + "]"
+
+    def key_expr(b):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(emb, {lit_arr(H[b * NEARDUP_LSH_BITS + r])}) >= 0"
+            f" THEN '1' ELSE '0' END)"
+            for r in range(NEARDUP_LSH_BITS)
+        )
+        return f"({bits})"
+
+    band_rows = ", ".join(f"({b}, {key_expr(b)})" for b in range(NEARDUP_LSH_BANDS))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bands AS (
+  SELECT vec_id, band, key
+  FROM e, LATERAL (VALUES {band_rows}) AS v(band, key)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(ea.emb, eb.emb) /
+             (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE list_dot_product(ea.emb, eb.emb) /
+      (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) >= {NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 IVF_CELLS = 8     # coarse centroids = vec_id in [100, 108)
 IVF_NPROBE = 2    # cells probed per query
 IVF_CENTROID_BASE = 100
@@ -250,5 +375,6 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 ANN_QUERIES = {
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_NEARDUP_SQL),
+    "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_oracle()),
     "q_ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
 }

@@ -119,6 +119,83 @@ FROM read_parquet('{media}')
 """
 
 
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xlsx per-line sheet's SQL-expressible columns (reference:
+    scripts/eval.py:64-94: GT, PRED, LEN, ERR, CER = errs/max(len gt, len
+    pred, 1), REL. ERR = errs/total_char_errs). The one-row global total
+    broadcasts; everything else is a pure map."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_line = _gt_pred(docs).select(
+        "doc_id",
+        "gt",
+        "pred",
+        F.length("gt").alias("len"),
+        F.levenshtein("gt", "pred").alias("err"),
+    )
+    total = per_line.agg(F.sum("err").alias("total_err"))
+    return (
+        per_line.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "gt",
+            "pred",
+            "len",
+            "err",
+            F.round(
+                F.col("err") / F.greatest(F.length("gt"), F.length("pred"), F.lit(1)), 6
+            ).alias("cer"),
+            F.round(
+                F.when(F.col("total_err") > 0, F.col("err") / F.col("total_err")).otherwise(0.0), 6
+            ).alias("rel_err"),
+        )
+        .orderBy(F.desc("err"), "doc_id")
+    )
+
+
+Q_EVAL_REPORT_SQL = f"""
+WITH per_line AS (
+  SELECT doc_id, gt, pred, length(gt) AS len, levenshtein(gt, pred) AS err
+  FROM (
+    SELECT doc_id, {_REG_SQL} AS gt,
+           replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred
+    FROM documents
+  )
+)
+SELECT doc_id, gt, pred, len, err,
+       round(CAST(err AS DOUBLE) / greatest(length(gt), length(pred), 1), 6) AS cer,
+       round(CASE WHEN t.total_err > 0 THEN CAST(err AS DOUBLE) / t.total_err ELSE 0.0 END, 6) AS rel_err
+FROM per_line, (SELECT sum(err) AS total_err FROM per_line) t
+ORDER BY err DESC, doc_id
+"""
+
+
+def write_eval_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """The reference's xlsx evaluation workbook (scripts/eval.py:52-135) as
+    three CSV sheets (xlsxwriter is absent in this container; columns and
+    sort orders match the reference sheets):
+
+    * ``per_line/``  — GT FILE,GT,PRED,LEN,ERR,CER,REL. ERR (+SYNC ERR and
+      CONFUSIONS via the synchronize pass), sorted worst-first;
+    * ``confusions/`` — GT,PRED,COUNT over the whole corpus, sorted desc;
+    * ``histogram/``  — CER bucket,Count (q_cer_histogram's buckets).
+    """
+    import os
+
+    per_line = q_eval_report(spark, sf_dir)
+    per_line.write.mode("overwrite").option("header", True).csv(
+        os.path.join(out_dir, "per_line")
+    )
+    confusions = x_confusions(spark, sf_dir)
+    confusions.write.mode("overwrite").option("header", True).csv(
+        os.path.join(out_dir, "confusions")
+    )
+    hist = q_cer_histogram(spark, sf_dir)
+    hist.write.mode("overwrite").option("header", True).csv(
+        os.path.join(out_dir, "histogram")
+    )
+    return {"sheets": ["per_line", "confusions", "histogram"], "out_dir": out_dir}
+
+
 CER_BIN = 0.05  # histogram bin width (reference: scripts/eval.py:52-135)
 
 
@@ -185,6 +262,7 @@ def _sfq(fn, oracle_fn=None):
 EVAL_QUERIES = {
     "q_worst_lines": (q_worst_lines, Q_WORST_SQL),
     "q_cer_histogram": (q_cer_histogram, Q_CER_HIST_SQL),
+    "q_eval_report": (q_eval_report, Q_EVAL_REPORT_SQL),
     "x_confusions": (x_confusions, None),
     "x_dataset_stats": _sfq(x_dataset_stats, x_dataset_stats_oracle),
     "x_avg_confidence": (x_avg_confidence, None),

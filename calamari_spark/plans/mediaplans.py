@@ -36,8 +36,10 @@ def x_image_stats_oracle(sf_dir: str) -> str:
 
 
 def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> aspect-preserving resize to 32 px -> re-encode; emits the
-    new dims (rows-only: the resampled bytes have no SQL oracle)."""
+    """Decode -> aspect-preserving resize to 32 px -> re-encode. The oracle
+    derives the output dims from the stored ones (w' = round(32*w/h),
+    h' = 32) — the resampled BYTES have no SQL oracle, but the geometry
+    contract does."""
     from calamari_spark.plans.extraction import load_interleaved
 
     _, media = load_interleaved(spark, sf_dir)
@@ -46,6 +48,18 @@ def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_ref", "width", "height")
         .orderBy("media_ref")
     )
+
+
+def x_image_resize_oracle(sf_dir: str) -> str:
+    from calamari_spark.plans.extraction import _fixture_glob
+
+    return f"""
+SELECT media_ref,
+       CASE WHEN height = 32 THEN width
+            ELSE greatest(CAST(round(32.0 * width / height) AS INTEGER), 1) END AS width,
+       CAST(32 AS INTEGER) AS height
+FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}') ORDER BY media_ref
+"""
 
 
 def _clips_df(spark: SparkSession, kind: str) -> DataFrame:
@@ -78,7 +92,7 @@ def _sfq(fn, oracle_fn=None):
 
 MEDIA_QUERIES = {
     "x_image_stats": _sfq(x_image_stats, x_image_stats_oracle),
-    "x_image_resize": (x_image_resize, None),
+    "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
     "x_audio_features": (x_audio_features, None),
     "x_video_frames": (x_video_frames, None),
 }

@@ -26,10 +26,12 @@ def _register_all() -> None:
     from calamari_spark.plans.extraction import EXTRACTION_QUERIES
     from calamari_spark.plans.mediaplans import MEDIA_QUERIES
     from calamari_spark.plans.evalplans import EVAL_QUERIES
+    from calamari_spark.functions.udxf import UDXF_QUERIES
 
     QUERIES.update(EXTRACTION_QUERIES)
     QUERIES.update(MEDIA_QUERIES)
     QUERIES.update(EVAL_QUERIES)
+    QUERIES.update(UDXF_QUERIES)
 
 
 _register_all()

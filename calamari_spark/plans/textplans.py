@@ -15,23 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from calamari_spark.sources.tables import load_table
-
-# The spaces ruleset as applied by both engines, in order
-# (reference: resources/rulesets/spaces.json).
-_SPACES_SPARK = [(r"\s+", " "), (r"^\s+", ""), (r"\s+$", "")]
-
-
-def _regularized_col(col):
-    for pat, rep in _SPACES_SPARK:
-        col = F.regexp_replace(col, pat, rep)
-    return col
-
-
-_REG_SQL = (
-    "regexp_replace(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),"
-    " '^\\s+', ''), '\\s+$', '')"
+from calamari_spark.functions.text import (
+    REG_SPACES_SQL as _REG_SQL,
+    regularized_spaces_col as _regularized_col,
 )
+from calamari_spark.sources.tables import load_table
 
 
 def q_strip_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:

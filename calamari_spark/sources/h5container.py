@@ -78,6 +78,29 @@ def write_h5_container(df: DataFrame, path: str, text_col: str = "text") -> List
     return codec
 
 
+def write_fold_split(df: DataFrame, path: str, n_folds: int = 5,
+                     text_col: str = "text", id_col: str = "id") -> List[str]:
+    """Cross-fold split writer (reference: hdf5/hdf5_dataset_writer.py:1-81 +
+    cross_fold.py:70-73 — the reference shuffles samples round-robin into
+    fold files). Spark shape: deterministic hash fold (retry-stable, no
+    global ordering) + one partitionBy(fold_id) write; every fold shares
+    the container codec."""
+    spark = df.sparkSession
+    codec = _codec_of(df, text_col)
+    fold = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_folds)).cast("int")
+    encoded = (
+        df.withColumn("transcript", _encode_col(F.col(text_col), codec))
+        .withColumn("fold_id", fold)
+        .drop(text_col)
+    )
+    encoded.write.mode("overwrite").partitionBy("fold_id").parquet(
+        os.path.join(path, "data.parquet")
+    )
+    meta = spark.createDataFrame([([ord(c) for c in codec],)], "codec array<int>")
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta.parquet"))
+    return codec
+
+
 def read_codec(spark: SparkSession, path: str) -> List[str]:
     row = spark.read.parquet(os.path.join(path, "meta.parquet")).first()
     return [chr(i) for i in row["codec"]]

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -73,10 +73,102 @@ def parse_page(xml_str: str, skip_commented: bool = False) -> List[dict]:
     return out
 
 
-def write_predictions(xml_str: str, predictions: Dict[str, Tuple[str, float]]) -> str:
+def _rect_points(x, y, w, h) -> str:
+    return f"{int(x)},{int(y)} {int(x + w)},{int(y)} {int(x + w)},{int(y + h)} {int(x)},{int(y + h)}"
+
+
+def _words_from_positions(positions: List[dict]) -> List[List[dict]]:
+    """Group per-glyph positions into words at space glyphs (reference:
+    pagexml/reader.py:612-628)."""
+    words: List[List[dict]] = []
+    cur: List[dict] = []
+    for pos in positions:
+        if pos["char"] == " ":
+            words.append(cur)
+            cur = []
+            continue
+        cur.append(pos)
+    if cur:
+        words.append(cur)
+    return words
+
+
+def _store_words(line, line_id: str, coords: str, positions: List[dict],
+                 precision: str, max_glyph_alternatives: int,
+                 output_confidences: bool, delete_old_words: bool) -> None:
+    """Word (and optionally Glyph) elements with bounding rects derived
+    from the glyph extents (reference: pagexml/reader.py:507-609)."""
+    # delete or _old-rename existing words (reader.py:492-505)
+    for w in list(line.findall(_q("Word"))):
+        if delete_old_words:
+            line.remove(w)
+        else:
+            w.set("id", f"{w.get('id')}_old")
+            for g in w.findall(_q("Glyph")):
+                g.set("id", f"{g.get('id')}_old")
+
+    # words go right after Baseline/Coords (schema order, reader.py:540-556)
+    children = list(line)
+    insert_index = 0
+    for i, ch in enumerate(children):
+        if ch.tag in (_q("Coords"), _q("Baseline")):
+            insert_index = i + 1
+
+    x0, y0, x1, y1 = coords_to_box(coords)
+    line_x, line_y, line_h = x0, y0, (y1 - 1) - y0
+
+    for wi, word in enumerate(w for w in _words_from_positions(positions) if w):
+        word_id = f"{line_id}_w{wi + 1}"
+        word_xml = ET.Element(_q("Word"), {"id": word_id})
+        coords_xml = ET.SubElement(word_xml, _q("Coords"))
+        word_text = ""
+        word_conf = 1.0
+        for gi, glyph in enumerate(word):
+            word_text += glyph["char"]
+            word_conf *= glyph["probability"]
+            if precision == "glyphs":
+                g = ET.SubElement(word_xml, _q("Glyph"), {"id": f"{word_id}_g{gi + 1}"})
+                gc = ET.SubElement(g, _q("Coords"))
+                gc.set("points", _rect_points(
+                    glyph["global_start_ext"] + line_x, line_y,
+                    glyph["global_end_ext"] - glyph["global_start_ext"], line_h,
+                ))
+                raw_alts = glyph.get("alts")
+                raw_alts = [] if raw_alts is None else list(raw_alts)
+                alts = [(glyph["char"], glyph["probability"])] + [
+                    (a["char"], a["probability"]) for a in raw_alts
+                ]
+                for ai, (ch_, p_) in enumerate(alts[:max_glyph_alternatives]):
+                    te = ET.SubElement(g, _q("TextEquiv"), {"index": str(ai)})
+                    if output_confidences:
+                        te.set("conf", str(p_))
+                    ET.SubElement(te, _q("Unicode")).text = ch_
+        te = ET.SubElement(word_xml, _q("TextEquiv"), {"index": "0"})
+        if output_confidences:
+            te.set("conf", str(word_conf))
+        ET.SubElement(te, _q("Unicode")).text = word_text
+        coords_xml.set("points", _rect_points(
+            word[0]["global_start_ext"] + line_x, line_y,
+            word[-1]["global_end_ext"] - word[0]["global_start_ext"], line_h,
+        ))
+        line.insert(insert_index, word_xml)
+        insert_index += 1
+
+
+def write_predictions(
+    xml_str: str,
+    predictions: Dict[str, Tuple[str, float]],
+    positions: Optional[Dict[str, List[dict]]] = None,
+    output_precision: str = "lines",
+    max_glyph_alternatives: int = 1,
+    output_confidences: bool = True,
+    delete_old_words: bool = True,
+) -> str:
     """Insert predicted sentences (and confidence) into each TextLine's
     TextEquiv[index=1]/Unicode, mirroring the reference's store-back
-    (reference: pagexml/reader.py:398-429)."""
+    (reference: pagexml/reader.py:398-429). With output_precision 'words'
+    or 'glyphs' (and per-line glyph ``positions``), Word/Glyph elements with
+    extent-derived bounding rects are written too (reader.py:507-609)."""
     ET.register_namespace("", NS)
     root = ET.fromstring(xml_str)
     for line in root.iter(_q("TextLine")):
@@ -93,6 +185,13 @@ def write_predictions(xml_str: str, predictions: Dict[str, Tuple[str, float]]) -
         te.set("conf", f"{conf:.4f}")
         uni = ET.SubElement(te, _q("Unicode"))
         uni.text = sentence
+        if output_precision in ("words", "glyphs") and positions and lid in positions:
+            coords_el = line.find(_q("Coords"))
+            coords = coords_el.get("points", "") if coords_el is not None else ""
+            _store_words(
+                line, lid, coords, positions[lid], output_precision,
+                max_glyph_alternatives, output_confidences, delete_old_words,
+            )
     return ET.tostring(root, encoding="unicode")
 
 
@@ -182,12 +281,18 @@ def cutout_lines(pages_with_png: DataFrame, cut_mode: str = "polygon") -> DataFr
     return pages_with_png.mapInPandas(run, schema=schema)
 
 
-def store_pagexml(pages: DataFrame, predictions: DataFrame) -> DataFrame:
-    """(doc_id, xml) x (doc_id, line_id, sentence, conf) -> (doc_id, xml)
-    with predictions written back. One groupBy(doc_id) gathers each page's
-    predictions; the page XML joins in and is rewritten once."""
+def store_pagexml(pages: DataFrame, predictions: DataFrame,
+                  output_precision: str = "lines",
+                  max_glyph_alternatives: int = 1) -> DataFrame:
+    """(doc_id, xml) x (doc_id, line_id, sentence, conf[, positions]) ->
+    (doc_id, xml) with predictions written back. One groupBy(doc_id)
+    gathers each page's predictions; the page XML joins in and is rewritten
+    once. With output_precision 'words'/'glyphs' the predictions DF must
+    carry a ``positions`` column (the recognize stage's nested tree)."""
+    has_positions = "positions" in predictions.columns
+    cols = ["line_id", "sentence", "conf"] + (["positions"] if has_positions else [])
     per_doc = predictions.groupBy("doc_id").agg(
-        F.collect_list(F.struct("line_id", "sentence", "conf")).alias("preds")
+        F.collect_list(F.struct(*cols)).alias("preds")
     )
     joined = pages.join(per_doc, "doc_id", "left")
 
@@ -195,12 +300,30 @@ def store_pagexml(pages: DataFrame, predictions: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for doc_id, xml_str, preds in zip(b["doc_id"], b["xml"], b["preds"]):
+                preds = preds if preds is not None else []
                 pmap = {
-                    p["line_id"]: (p["sentence"], float(p["conf"]))
-                    for p in (preds if preds is not None else [])
+                    p["line_id"]: (p["sentence"], float(p["conf"])) for p in preds
                 }
+                pos = None
+                if has_positions and output_precision in ("words", "glyphs"):
+                    pos = {
+                        p["line_id"]: [
+                            dict(g.asDict()) if hasattr(g, "asDict") else dict(g)
+                            for g in (
+                                [] if p["positions"] is None else list(p["positions"])
+                            )
+                        ]
+                        for p in preds
+                    }
                 rows.append(
-                    {"doc_id": doc_id, "xml": write_predictions(xml_str, pmap)}
+                    {
+                        "doc_id": doc_id,
+                        "xml": write_predictions(
+                            xml_str, pmap, positions=pos,
+                            output_precision=output_precision,
+                            max_glyph_alternatives=max_glyph_alternatives,
+                        ),
+                    }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "xml"])
 

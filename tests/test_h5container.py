@@ -61,3 +61,20 @@ def test_images_ride_along(spark, tmp_path):
     assert bytes(r["image"]) == b"\x01\x02\x03\x04\x05\x06"
     assert r["dims"] == [2, 3]
     assert r["text"] == "hi"
+
+
+def test_fold_split_writer(spark, tmp_path):
+    from calamari_spark.sources.h5container import write_fold_split
+
+    df = spark.createDataFrame(
+        [(f"d/{i}", "ab" * (i % 3 + 1)) for i in range(40)], "id string, text string"
+    )
+    path = str(tmp_path / "folds")
+    write_fold_split(df, path, n_folds=4)
+    data = spark.read.parquet(f"{path}/data.parquet")
+    folds = {r["fold_id"] for r in data.select("fold_id").distinct().collect()}
+    assert folds == {0, 1, 2, 3}
+    assert data.count() == 40
+    # decode still works through the shared codec
+    back = read_h5_container(spark, path)
+    assert {r["text"] for r in back.collect()} == {"ab", "abab", "ababab"}

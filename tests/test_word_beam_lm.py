@@ -64,3 +64,27 @@ def test_dangling_prefix_completion():
     mat /= mat.sum(axis=1, keepdims=True)
     out = word_beam_decode(mat, chars, lm, beam_width=5, use_ngrams=True)
     assert out == "cat"
+
+
+def test_word_to_word_transition_fixture():
+    # captured from the reference with allowWordToWordTransition: the
+    # space-less 'abba' optics decode to 'abba' only when words may chain
+    import numpy as np
+
+    from calamari_spark.operators.ctc import WordLM, word_beam_decode
+
+    chars = "ab "
+    lm = WordLM("ab ba", chars, "ab")
+    mat = np.full((8, 4), 0.001)
+    for i, c in enumerate("abba"):
+        mat[2 * i, chars.index(c)] = 0.95
+        mat[2 * i + 1, 3] = 0.95
+    mat /= mat.sum(axis=1, keepdims=True)
+    args = dict(beam_width=16)
+    assert word_beam_decode(mat, chars, lm, use_ngrams=False, **args) == "ab ab"
+    assert word_beam_decode(
+        mat, chars, lm, use_ngrams=False, allow_word_to_word=True, **args
+    ) == "abba"
+    assert word_beam_decode(
+        mat, chars, lm, use_ngrams=True, allow_word_to_word=True, **args
+    ) == "ab ba"
