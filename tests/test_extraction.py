@@ -68,7 +68,7 @@ def test_reassembly_salting_preserves_order(spark):
 
 
 def test_recognize_positions_nested_output(spark, corpus):
-    preds = X.x_recognize_positions(spark, SF).limit(20).collect()
+    preds = X._recognized_with_positions(spark, SF).limit(20).collect()
     assert preds
     for r in preds:
         assert 0.0 < r["avg_char_probability"] <= 1.0
@@ -78,6 +78,9 @@ def test_recognize_positions_nested_output(spark, corpus):
         for p in r["positions"]:
             assert p["global_end"] >= p["global_start"]
             assert p["global_start_ext"] <= p["global_start"]
+    # the DRIVER-facing variant serializes the tree to a sortable string
+    json_rows = X.x_recognize_positions(spark, SF).limit(5).collect()
+    assert all(isinstance(r["positions_json"], str) for r in json_rows)
 
 
 def test_cnn_path_runs_and_is_deterministic(spark, corpus):
