@@ -62,6 +62,81 @@ FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}') ORDER BY media_ref
 """
 
 
+N_AUGMENTATIONS = 2
+
+
+def x_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation fan-out (AugmentationProcessor analog):
+    every media line yields N_AUGMENTATIONS degraded variants. The oracle
+    checks the contract the geometry preserves: one row per (line, variant)
+    with the ORIGINAL dims (jitter/speckle/blur/contrast never resize)."""
+    from calamari_spark.operators.augment import augment_media
+    from calamari_spark.plans.extraction import load_interleaved
+
+    _, media = load_interleaved(spark, sf_dir)
+    return (
+        augment_media(media, N_AUGMENTATIONS)
+        .select("media_ref", "aug_id", "width", "height")
+        .orderBy("media_ref", "aug_id")
+    )
+
+
+def x_augment_stats_oracle(sf_dir: str) -> str:
+    from calamari_spark.plans.extraction import _fixture_glob
+
+    variants = ", ".join(f"({k})" for k in range(N_AUGMENTATIONS))
+    return f"""
+SELECT media_ref, aug_id, width, height
+FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}')
+CROSS JOIN (VALUES {variants}) a(aug_id)
+ORDER BY media_ref, aug_id
+"""
+
+
+def x_ctc_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC negative log-likelihood of the ground truth under the template
+    ensemble's softmax — the reference's training loss repurposed as an
+    eval metric (tf.nn.ctc_loss analog; forward algorithm in numpy).
+    Model-internal values: rows-only driver check."""
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+
+    from calamari_spark.plans.extraction import _get_recognizers, load_interleaved
+
+    _, media = load_interleaved(spark, sf_dir)
+    lines = media.select("media_ref", "png", "gt")
+    n_part = spark.sparkContext.defaultParallelism * 2
+    lines = lines.repartition(n_part, "media_ref")
+
+    schema = "media_ref string, n_chars int, loss double, loss_per_char double"
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        from calamari_spark.operators.ctc_loss import ctc_loss
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(1)
+        rec = recs[0]
+        for b in batches:
+            rows = []
+            for ref, png, gt in zip(b["media_ref"], b["png"], b["gt"]):
+                img = decode_png(bytes(png))
+                pooled = rec.pooled_scores(img)
+                sm = (rec.softmax_from_scores(pooled) if pooled is not None
+                      else rec._blank_softmax(img))
+                labels = [codec.char2code[c] for c in gt.replace(" ", "")]
+                loss = ctc_loss(sm, labels)
+                rows.append({
+                    "media_ref": ref,
+                    "n_chars": len(labels),
+                    "loss": round(loss, 6),
+                    "loss_per_char": round(loss / max(len(labels), 1), 6),
+                })
+            yield _pd.DataFrame(rows, columns=["media_ref", "n_chars", "loss", "loss_per_char"])
+
+    return lines.mapInPandas(run, schema=schema).orderBy("media_ref")
+
+
 def _clips_df(spark: SparkSession, kind: str) -> DataFrame:
     """Tiny deterministic binary-clip table (the audio/video decode itself
     is the documented stub; payloads just need to be stable bytes)."""
@@ -93,6 +168,8 @@ def _sfq(fn, oracle_fn=None):
 MEDIA_QUERIES = {
     "x_image_stats": _sfq(x_image_stats, x_image_stats_oracle),
     "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
+    "x_augment_stats": _sfq(x_augment_stats, x_augment_stats_oracle),
+    "x_ctc_loss": (x_ctc_loss, None),
     "x_audio_features": (x_audio_features, None),
     "x_video_frames": (x_video_frames, None),
 }
