@@ -87,6 +87,40 @@ def test_ann_query_broadcasts_query_set(spark):
     assert "WindowGroupLimit" in ivf_plan  # partial top-k before the shuffle
 
 
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any Exchange — the
+    co-located layout that removes the extraction pipeline's biggest
+    shuffle at 100 TB (Iceberg bucket(N, key) analog)."""
+    from pyspark.sql import functions as F
+
+    from calamari_spark.sources.bucketed import write_bucketed
+
+    docs = spark.range(0, 10_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("media_ref"),
+        (F.col("id") % 97).alias("x"),
+    )
+    media = spark.range(0, 10_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("media_ref"),
+        (F.col("id") % 13).alias("y"),
+    )
+    write_bucketed(docs, "t_docs_b", str(tmp_path / "docs"), "media_ref")
+    write_bucketed(media, "t_media_b", str(tmp_path / "media"), "media_ref")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_docs_b").join(spark.table("t_media_b"), "media_ref")
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing replaced the shuffle
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_media_b")
+
+
 def test_extraction_ocr_stage_partition_count(spark):
     """The compute-bound OCR exchange must carry the explicit parallelism
     (defaultParallelism * 2), immune to AQE byte-based coalescing."""
