@@ -109,59 +109,74 @@ ORDER BY id_a, id_b
 """
 
 
-NEARDUP_LSH_BANDS = 4   # OR over bands boosts recall
-NEARDUP_LSH_BITS = 3    # hyperplane signs per band
+NEARDUP_LSH_BANDS = 6   # OR over bands boosts recall
+NEARDUP_LSH_BITS = 8    # hyperplane signs per band: ~log2(corpus) keeps
+                        # buckets near-singleton (3 bits made buckets of
+                        # n/8 and 830k candidate pairs from 2000 vectors)
 NEARDUP_THRESHOLD = 0.40
 EMB_DIM = 64
 
 
+QUANT = 4096  # power of 2: e*QUANT is an EXACT float op in both engines
+
+
 def _hyperplanes() -> "np.ndarray":
-    """Deterministic random hyperplanes, embedded as literals in BOTH the
-    Spark plan and the SQL oracle (a model constant, like IVF centroids)."""
+    """Deterministic Rademacher (+/-1) hyperplanes, identical constants in
+    the Spark plan and the SQL oracle (a model constant, like IVF
+    centroids). +/-1 entries + floor-quantized embeddings make every
+    signature bit an exact INTEGER comparison — bit-identical across
+    engines and summation orders, so the vectorized numpy path below is
+    safe (a float dot's near-zero sign could differ between numpy's
+    blocked BLAS sum and DuckDB's sequential sum)."""
     import numpy as np
 
     rng = np.random.RandomState(42)
-    return rng.standard_normal((NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS, EMB_DIM))
+    return (rng.randint(0, 2, (NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS, EMB_DIM)) * 2 - 1).astype(
+        np.int64
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane LSH bucketing.
 
-    Signature bit = sign(dot(embedding, hyperplane)); a pair is a candidate
-    iff it collides in >=1 of the B bands (R bits each). Only same-bucket
-    rows ever join — candidate generation is linear in corpus + bucket
-    sizes vs the O(n^2) nested-loop of q_embedding_neardup (which remains
-    the bounded exactness demo). Recall < 1 by construction: the oracle
-    implements the identical banded scheme, so the two engines agree
+    Signature bit b = (sum_i h_bi * floor(e_i * 4096) >= 0) with h in
+    {-1, +1}: exact integer arithmetic, so Spark computes it in ONE
+    Arrow-vectorized pandas UDF (int64 matmul; ~20x faster than the
+    higher-order-function chain) while the DuckDB oracle computes the same
+    bits as an explicit term sum. A pair is a candidate iff it collides in
+    >=1 of the B bands (R bits each) — candidate generation is linear in
+    corpus + bucket sizes vs the O(n^2) nested-loop of q_embedding_neardup
+    (which remains the bounded exactness demo). Recall < 1 by design; the
+    oracle implements the identical banded scheme, so the engines agree
     exactly on which pairs surface."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     emb = load_table(spark, "embeddings", sf_dir)
-    H = _hyperplanes()
+    Ht = _hyperplanes().T  # (EMB_DIM, bands*bits)
 
-    def sign_bit(hvec):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(float(v)) for v in hvec]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+    def _sig(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype(np.float64)  # float32 -> exact
+        Q = np.floor(M * QUANT).astype(np.int64)
+        bits = (Q @ Ht) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
-    band_keys = [
-        F.concat(
-            *[sign_bit(H[b * NEARDUP_LSH_BITS + r]) for r in range(NEARDUP_LSH_BITS)]
-        ).alias(f"k{b}")
-        for b in range(NEARDUP_LSH_BANDS)
-    ]
-    sig = emb.select("vec_id", "embedding", *band_keys)
+    _sig.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(_sig, "string")
+
+    sig = emb.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
     bands = sig.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "sig", b * NEARDUP_LSH_BITS + 1, NEARDUP_LSH_BITS
+                        ).alias("key"),
+                    )
                     for b in range(NEARDUP_LSH_BANDS)
                 ]
             )
@@ -179,17 +194,31 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
+
+    # candidate scoring: vectorized over pairs, dim-SEQUENTIAL accumulation
+    # so the float64 sum order matches DuckDB's list_dot_product exactly
+    # (the HOF aggregate chain gives the same bits but ~100us/pair)
+    def _cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    _cos.__annotations__ = {"ea": pd.Series, "eb": pd.Series, "return": pd.Series}
+    cos_udf = pandas_udf(_cos, "double")
+
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
-            ),
-        )
+        .withColumn("cosine", F.round(cos_udf(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
@@ -199,16 +228,19 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_lsh_oracle() -> str:
     H = _hyperplanes()
 
-    def lit_arr(hvec):
-        return "[" + ", ".join(repr(float(v)) for v in hvec) + "]"
+    def bit_expr(hvec):
+        # exact integer sum: +/- floor(e_i * 4096), identical to the numpy
+        # int64 matmul in any summation order
+        terms = " ".join(
+            f"{'+' if h > 0 else '-'} floor(emb[{i + 1}] * {QUANT})"
+            for i, h in enumerate(hvec)
+        )
+        return f"(CASE WHEN (0 {terms}) >= 0 THEN '1' ELSE '0' END)"
 
     def key_expr(b):
-        bits = " || ".join(
-            f"(CASE WHEN list_dot_product(emb, {lit_arr(H[b * NEARDUP_LSH_BITS + r])}) >= 0"
-            f" THEN '1' ELSE '0' END)"
-            for r in range(NEARDUP_LSH_BITS)
-        )
-        return f"({bits})"
+        return "(" + " || ".join(
+            bit_expr(H[b * NEARDUP_LSH_BITS + r]) for r in range(NEARDUP_LSH_BITS)
+        ) + ")"
 
     band_rows = ", ".join(f"({b}, {key_expr(b)})" for b in range(NEARDUP_LSH_BANDS))
     return f"""

@@ -87,6 +87,30 @@ def test_ann_query_broadcasts_query_set(spark):
     assert "WindowGroupLimit" in ivf_plan  # partial top-k before the shuffle
 
 
+def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
+    """A dt-partitioned layout (the 100 TB events-table shape) must prune
+    non-matching partitions at planning time — the scan reads 1 of 5
+    directories, not all of them."""
+    from pyspark.sql import functions as F
+
+    ev = spark.range(0, 5_000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 5 + 1).cast("string")).alias("dt"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    path = str(tmp_path / "events_parted")
+    ev.write.partitionBy("dt").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("dt") == "2024-01-03")
+    plan = _plan(q)
+    flat = plan.replace("\n", " ")
+    assert "PartitionFilters" in flat and "2024-01-03" in flat
+    # the scan's selected partition count is 1/5 of the table
+    files_read = q.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert files_read <= all_files / 5 + 1
+    assert q.count() == 1_000
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key join WITHOUT any Exchange — the
     co-located layout that removes the extraction pipeline's biggest
