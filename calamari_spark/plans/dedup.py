@@ -196,22 +196,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("nbr_label").alias("min_nbr"))
             .select(F.col("src").alias("doc_id"), "min_nbr")
         )
+        new_label = F.least(F.col("label"), F.coalesce("min_nbr", F.col("label")))
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("min_nbr", F.col("label"))).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("keeper"))

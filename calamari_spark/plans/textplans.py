@@ -489,10 +489,51 @@ def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(run, schema=schema).orderBy("doc_id")
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function surface with an oracle: a JSON payload is synthesized
+    identically in both engines (plain concat), then Spark parses it with
+    from_json (typed schema) while DuckDB uses json_extract — proving the
+    engine's JSON path expressions against an independent parser. The
+    extended-prediction container uses the same to_json/from_json pair."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.concat(
+        F.lit('{"doc": {"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}, "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    schema = "struct<doc: struct<id: long, lang: string>, n_chars: long>"
+    parsed = docs.select("doc_id", F.from_json(payload, schema).alias("j"))
+    return parsed.select(
+        "doc_id",
+        F.col("j.doc.id").alias("json_id"),
+        F.col("j.doc.lang").alias("json_lang"),
+        F.col("j.n_chars").alias("json_n_chars"),
+    ).orderBy("doc_id")
+
+
+Q_JSON_SQL = """
+SELECT doc_id,
+       CAST(json_extract(payload, '$.doc.id') AS BIGINT) AS json_id,
+       json_extract_string(payload, '$.doc.lang') AS json_lang,
+       CAST(json_extract(payload, '$.n_chars') AS BIGINT) AS json_n_chars
+FROM (
+  SELECT doc_id,
+         '{"doc": {"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang
+         || '"}, "n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS payload
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
     "q_text_normalize": (q_text_normalize, Q_TEXT_NORMALIZE_SQL),
     "q_bidi_display": (q_bidi_display, None),
+    "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),
