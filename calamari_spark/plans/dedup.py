@@ -257,25 +257,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(_regularized_col(F.col("text")), " ")).alias("word"),
     ).filter(F.col("word") != "").distinct()
-    h = F.md5(F.col("word"))
-    # bit j = bit (3 - j%4) of hex digit j//4
-    votes = words.select(
-        "doc_id",
+    # ONE hex parse per word (the md5's first 16 bits as an int) — h16
+    # materializes in the pre-aggregate projection, so the md5 runs once
+    # per word instead of once per bit; per-bit votes become shift/mask
+    # terms inside the aggregate. vote sum s_j = 2*ones_j - n_words is
+    # value-identical to summing +/-1 votes.
+    h16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
+    per_word = words.select("doc_id", h16.alias("h16"))
+    agg = per_word.groupBy("doc_id").agg(
         *[
             (
-                (
-                    F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
-                    .bitwiseAND(F.lit(1 << (3 - j % 4)))
-                    > 0
-                ).cast("int")
-                * 2
-                - 1
-            ).alias(f"v{j}")
+                F.sum(F.shiftright(F.col("h16"), SIMHASH_BITS - 1 - j).bitwiseAND(F.lit(1))) * 2
+                - F.count(F.lit(1))
+            ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
-        ],
-    )
-    agg = votes.groupBy("doc_id").agg(
-        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+        ]
     )
     simhash = sum(
         (F.col(f"s{j}") > 0).cast("int") * F.lit(1 << (SIMHASH_BITS - 1 - j))
@@ -285,12 +281,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    vote_cols = ",\n           ".join(
-        f"CASE WHEN (CAST(('0x' || substring(h, {1 + j // 4}, 1)) AS INTEGER)"
-        f" & {1 << (3 - j % 4)}) > 0 THEN 1 ELSE -1 END AS v{j}"
+    sums = ", ".join(
+        f"sum(CASE WHEN (h16 & {1 << (SIMHASH_BITS - 1 - j)}) > 0 THEN 1 ELSE 0 END) * 2"
+        f" - count(*) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
-    sums = ", ".join(f"sum(v{j}) AS s{j}" for j in range(SIMHASH_BITS))
     bits = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {1 << (SIMHASH_BITS - 1 - j)} ELSE 0 END"
         for j in range(SIMHASH_BITS)
@@ -301,12 +296,11 @@ WITH words AS (
   FROM (SELECT doc_id, unnest(string_split({_REG_SQL}, ' ')) AS word FROM documents)
   WHERE word != ''
 ),
-votes AS (
-  SELECT doc_id,
-           {vote_cols}
-  FROM (SELECT doc_id, md5(word) AS h FROM words)
+per_word AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(word), 1, 4)) AS INTEGER) AS h16
+  FROM words
 ),
-agg AS (SELECT doc_id, {sums} FROM votes GROUP BY doc_id)
+agg AS (SELECT doc_id, {sums} FROM per_word GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM agg ORDER BY doc_id
 """
 
