@@ -265,11 +265,9 @@ def nfc_column(col: Column) -> Column:
     """NFC normalization. Spark has no native NFC; use a pandas UDF only
     when the corpus can contain decomposed sequences — for ASCII-clean
     corpora this is the identity and we keep it JVM-side."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from calamari_spark.functions.arrow import series_udf
 
-    def _nfc(s: pd.Series) -> pd.Series:
+    def _nfc(s):
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
-    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return pandas_udf(_nfc, "string")(col)
+    return series_udf(_nfc, "string")(col)

@@ -29,13 +29,12 @@ from calamari_spark.sources.tables import load_table
 
 def mean_len_udaf():
     """Grouped-aggregate pandas UDAF: mean string length (double)."""
-    from pyspark.sql.functions import pandas_udf
+    from calamari_spark.functions.arrow import series_udf
 
-    def _mean_len(s: pd.Series) -> float:
+    def _mean_len(s):
         return float(s.str.len().mean())
 
-    _mean_len.__annotations__ = {"s": pd.Series, "return": float}
-    return pandas_udf(_mean_len, "double")
+    return series_udf(_mean_len, "double", agg=True)
 
 
 def q_udaf_mean_len(spark: SparkSession, sf_dir: str) -> DataFrame:

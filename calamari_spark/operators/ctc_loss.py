@@ -61,8 +61,11 @@ def ctc_loss(softmax: np.ndarray, labels: Sequence[int], blank: int = 0) -> floa
         alpha[1] = logp[0, ext[1]]
     for t in range(1, T):
         stay = alpha
-        step = np.concatenate(([NEG_INF], alpha[:-1]))
-        skip = np.concatenate(([NEG_INF, NEG_INF], alpha[:-2]))
+        step = np.full(S, NEG_INF)
+        step[1:] = alpha[:-1]
+        skip = np.full(S, NEG_INF)
+        if S > 2:
+            skip[2:] = alpha[:-2]
         skip = np.where(can_skip, skip, NEG_INF)
         alpha = _logsumexp2(_logsumexp2(stay, step), skip) + logp[t, ext_arr]
     total = _logsumexp2(alpha[-1:], alpha[-2:-1] if S > 1 else np.array([NEG_INF]))[0]

@@ -141,7 +141,6 @@ def _warp_affine(img: np.ndarray, M: np.ndarray, out_w: int, out_h: int, cval: f
     y0 = np.floor(sy).astype(np.int64)
     fx, fy = sx - x0, sy - y0
     h, w = img.shape[:2]
-    out = np.full((out_h, out_w), float(cval))
     srcf = img.astype(np.float64)
 
     def sample(yy, xx):
@@ -226,10 +225,14 @@ def cutout(
         return pageimg[0:0, 0:0]
     min_x, min_y = pts.min(axis=0)
     max_x, max_y = pts.max(axis=0)
-    cut = pageimg[max(0, min_y) : max_y + 1, max(0, min_x) : max_x + 1]
+    # clamp the crop origin to the page AND shift the polygon by the SAME
+    # clamped origin — a polygon with negative coords otherwise masks at a
+    # displaced offset
+    org_x, org_y = max(0, int(min_x)), max(0, int(min_y))
+    cut = pageimg[org_y : max_y + 1, org_x : max_x + 1]
     if cut.size == 0:
         return cut
-    pts = pts - (min_x, min_y)
+    pts = pts - (org_x, org_y)
 
     if angle is None:
         if max_auto_angle > 0:

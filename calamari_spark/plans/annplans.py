@@ -151,19 +151,19 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly on which pairs surface."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from calamari_spark.functions.arrow import series_udf
 
     emb = load_table(spark, "embeddings", sf_dir)
     Ht = _hyperplanes().T  # (EMB_DIM, bands*bits)
 
-    def _sig(s: pd.Series) -> pd.Series:
+    def _sig(s):
         M = np.stack(s.to_numpy()).astype(np.float64)  # float32 -> exact
         Q = np.floor(M * QUANT).astype(np.int64)
         bits = (Q @ Ht) >= 0
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
-    _sig.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    sig_udf = pandas_udf(_sig, "string")
+    sig_udf = series_udf(_sig, "string")
 
     sig = emb.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
     bands = sig.select(
@@ -198,7 +198,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate scoring: vectorized over pairs, dim-SEQUENTIAL accumulation
     # so the float64 sum order matches DuckDB's list_dot_product exactly
     # (the HOF aggregate chain gives the same bits but ~100us/pair)
-    def _cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    def _cos(ea, eb):
         A = np.stack(ea.to_numpy()).astype(np.float64)
         B = np.stack(eb.to_numpy()).astype(np.float64)
         dot = np.zeros(len(A))
@@ -210,17 +210,17 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb += B[:, i] * B[:, i]
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
-    _cos.__annotations__ = {"ea": pd.Series, "eb": pd.Series, "return": pd.Series}
-    cos_udf = pandas_udf(_cos, "double")
+    cos_udf = series_udf(_cos, "double")
 
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", F.round(cos_udf(F.col("ea"), F.col("eb")), 6))
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("cosine_raw", cos_udf(F.col("ea"), F.col("eb")))
+        # filter on the RAW cosine (the oracle does too); round for display
+        .filter(F.col("cosine_raw") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 

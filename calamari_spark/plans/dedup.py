@@ -210,6 +210,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        # wrong keepers are worse than a failed job: a cluster whose graph
+        # diameter exceeds max_iter would silently keep non-minimal labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " (a duplicate chain longer than max_iter?); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("keeper"))
 
 

@@ -644,7 +644,11 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from calamari_spark.operators.ctc import WordLM, word_beam_decode
 
-        key = f"wordlm:{len(vocab)}:{charset}"
+        import hashlib as _hl
+
+        # key on the corpus CONTENT: same-size vocabularies from different
+        # corpora must not reuse a stale cached LM
+        key = "wordlm:" + _hl.sha256(f"{charset}|{lm_corpus}".encode()).hexdigest()
         if key not in _WORKER_STATE:
             _WORKER_STATE[key] = WordLM(lm_corpus, charset, charset)
         lm = _WORKER_STATE[key]

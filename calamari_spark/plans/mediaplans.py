@@ -51,14 +51,27 @@ def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_image_resize_oracle(sf_dir: str) -> str:
+    """w' = Python round((32/h)*w) — round-HALF-EVEN, which DuckDB's
+    half-away round() gets wrong at exact .5. Replicated exactly: y is
+    computed with the same op order as scale_to_h ((32.0/h)*w), frac =
+    y - floor(y) is exact in float64 for y < 2^52, and the three-way CASE
+    is bankers' rounding."""
     from calamari_spark.plans.extraction import _fixture_glob
 
     return f"""
 SELECT media_ref,
        CASE WHEN height = 32 THEN width
-            ELSE greatest(CAST(round(32.0 * width / height) AS INTEGER), 1) END AS width,
+            ELSE greatest(CAST(
+              CASE WHEN frac > 0.5 THEN fl + 1
+                   WHEN frac < 0.5 THEN fl
+                   ELSE fl + (CAST(fl AS BIGINT) % 2) END AS INTEGER), 1)
+       END AS width,
        CAST(32 AS INTEGER) AS height
-FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}') ORDER BY media_ref
+FROM (
+  SELECT media_ref, width, height, floor(y) AS fl, y - floor(y) AS frac
+  FROM (SELECT media_ref, width, height, (32.0 / height) * width AS y
+        FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}'))
+) ORDER BY media_ref
 """
 
 

@@ -65,18 +65,23 @@ def to_pred_files(predictions: DataFrame, out_dir: str,
     any row count (out_dir must be a shared filesystem on a real cluster;
     the scale sink proper is the predictions parquet/Iceberg table)."""
     os.makedirs(out_dir, exist_ok=True)
+    n_written = predictions.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(rows) -> None:
         import os as _os
 
         _os.makedirs(out_dir, exist_ok=True)
+        n = 0
         for r in rows:
             path = _os.path.join(out_dir, r["id"] + pred_extension)
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 f.write(r["sentence"])
             _os.replace(tmp, path)  # atomic per file: task retries are safe
+            n += 1
+        n_written.add(n)
 
-    picked = predictions.select("id", "sentence")
-    picked.foreachPartition(write_partition)
-    return picked.count()
+    # count via accumulator: one action, the (possibly OCR-heavy) upstream
+    # pipeline executes exactly once
+    predictions.select("id", "sentence").foreachPartition(write_partition)
+    return n_written.value

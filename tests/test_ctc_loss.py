@@ -60,3 +60,11 @@ def test_confident_model_near_zero_loss():
     for t, c in enumerate([1, 0, 2, 0]):
         sm[t, c] = 1 - 2e-6
     assert ctc_loss(sm, [1, 2]) < 0.01
+
+
+@pytest.mark.parametrize("T", [1, 2, 3, 5])
+def test_empty_labels_is_sum_of_blank_logprobs(T):
+    rng = np.random.RandomState(9)
+    sm = rng.dirichlet(np.ones(3), size=T)
+    expected = -sum(math.log(sm[t, 0]) for t in range(T))
+    assert ctc_loss(sm, []) == pytest.approx(expected, rel=1e-12)

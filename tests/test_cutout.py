@@ -139,3 +139,14 @@ def test_cutout_lines_spark_stage(spark):
     assert r["orientation"] == 0.0
     img = decode_png(bytes(r["line_png"]))
     assert (img == 0).all()
+
+
+def test_polygon_with_negative_coords_masks_at_correct_offset():
+    # polygon extending left of the page: crop starts at column 0 and the
+    # mask must align with the CLAMPED origin, not the negative minimum
+    page = _page()
+    page[:, :] = 40
+    poly = [(-5, 50), (59, 50), (59, 59), (-5, 59)]
+    cut = cutout(page, _coords(poly), mode=CutMode.POLYGON, cval=WHITE)
+    assert cut.shape == (10, 60)
+    assert (cut == 40).all()  # the on-page part of the rect is fully kept

@@ -15,7 +15,7 @@ def test_lm_probs_match_reference_fixture():
     assert abs(lm.bigram("12", "15") - 0.2) < 1e-12
     assert abs(lm.unigram("12") - 2 / 7) < 1e-12
     assert sorted(lm.next_chars("1")) == [" ", ",", ".", "2", "3", "5", ":"]
-    assert not lm.is_word("1") or lm.is_word("1")  # '1' IS a corpus word
+    assert lm.is_word("1")  # '1' IS a corpus word
     assert lm.is_word("12") and not lm.is_word("9")
 
 
