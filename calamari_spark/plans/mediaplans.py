@@ -150,6 +150,108 @@ def x_ctc_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.mapInPandas(run, schema=schema).orderBy("media_ref")
 
 
+N_CUTOUT_LINES = 64
+CUTOUT_MARGIN = 6
+
+
+def x_pagexml_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip attestation of the PAGE-XML cutout scan: fixture line
+    images are composed into synthetic pages (stacked with margins, Coords
+    = each line's exact box), `cutout_lines` cuts them back out, and every
+    crop must be pixel-identical to its source line. Page composition is an
+    applyInPandas group stage; the oracle is trivially GT-derivable (every
+    line equal)."""
+    from calamari_spark.plans.extraction import load_interleaved
+
+    _, media = load_interleaved(spark, sf_dir)
+    lines = (
+        media.select("media_ref", "png", "width", "height")
+        .orderBy("media_ref")
+        .limit(N_CUTOUT_LINES)
+        .withColumn("page_id", F.abs(F.xxhash64("media_ref")) % 16)
+    )
+
+    page_schema = "doc_id string, xml string, png binary"
+
+    def compose(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from calamari_spark.sources.pngio import decode_png, encode_png
+
+        pdf = pdf.sort_values("media_ref")
+        imgs = [decode_png(bytes(p)) for p in pdf["png"]]
+        m = CUTOUT_MARGIN
+        pw = max(i.shape[1] for i in imgs) + 2 * m
+        ph = sum(i.shape[0] for i in imgs) + m * (len(imgs) + 1)
+        page = np.full((ph, pw), 255, dtype=np.uint8)
+        y = m
+        tl = []
+        for ref, img in zip(pdf["media_ref"], imgs):
+            h, w = img.shape[:2]
+            page[y : y + h, m : m + w] = img
+            coords = f"{m},{y} {m + w - 1},{y} {m + w - 1},{y + h - 1} {m},{y + h - 1}"
+            tl.append(
+                f'<TextLine id="{ref}"><Coords points="{coords}"/>'
+                f"<TextEquiv index=\"0\"><Unicode>x</Unicode></TextEquiv></TextLine>"
+            )
+            y += h + m
+        from calamari_spark.sources.pagexml import NS
+
+        xml = (
+            f'<?xml version="1.0"?><PcGts xmlns="{NS}"><Page>'
+            f'<TextRegion id="r0" orientation="0">{"".join(tl)}</TextRegion>'
+            f"</Page></PcGts>"
+        )
+        return pd.DataFrame(
+            [{"doc_id": f"page_{int(key[0])}", "xml": xml, "png": encode_png(page)}]
+        )
+
+    pages = lines.groupBy("page_id").applyInPandas(compose, schema=page_schema)
+
+    from calamari_spark.sources.pagexml import cutout_lines
+
+    crops = cutout_lines(pages, cut_mode="polygon").select(
+        F.col("line_id").alias("media_ref"), "line_png"
+    )
+    joined = crops.join(media.select("media_ref", "png"), "media_ref")
+
+    eq_schema = "media_ref string, pixels_equal boolean"
+
+    def check(batches):
+        import pandas as pd
+
+        from calamari_spark.sources.pngio import decode_png
+
+        for b in batches:
+            rows = []
+            for ref, crop, orig in zip(b["media_ref"], b["line_png"], b["png"]):
+                import numpy as np
+
+                a = decode_png(bytes(crop))
+                o = decode_png(bytes(orig))
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "pixels_equal": a.shape == o.shape and bool(np.array_equal(a, o)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "pixels_equal"])
+
+    return joined.mapInPandas(check, schema=eq_schema).orderBy("media_ref")
+
+
+def x_pagexml_cutout_oracle(sf_dir: str) -> str:
+    from calamari_spark.plans.extraction import _fixture_glob
+
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+SELECT media_ref, true AS pixels_equal
+FROM (SELECT media_ref FROM read_parquet('{media}') ORDER BY media_ref LIMIT {N_CUTOUT_LINES})
+ORDER BY media_ref
+"""
+
+
 def _clips_df(spark: SparkSession, kind: str) -> DataFrame:
     """Tiny deterministic binary-clip table (the audio/video decode itself
     is the documented stub; payloads just need to be stable bytes)."""
@@ -182,6 +284,7 @@ MEDIA_QUERIES = {
     "x_image_stats": _sfq(x_image_stats, x_image_stats_oracle),
     "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
     "x_augment_stats": _sfq(x_augment_stats, x_augment_stats_oracle),
+    "x_pagexml_cutout": _sfq(x_pagexml_cutout, x_pagexml_cutout_oracle),
     "x_ctc_loss": (x_ctc_loss, None),
     "x_audio_features": (x_audio_features, None),
     "x_video_frames": (x_video_frames, None),
