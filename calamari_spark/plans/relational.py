@@ -228,6 +228,35 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: order totals per priority, one column per order
+    status. Pivot with explicit values is a single partial-aggregated
+    shuffle (no second pass to discover the pivot domain) — always pass
+    the value list at 100 TB."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
@@ -341,6 +370,7 @@ RELATIONAL_QUERIES = {
     "q_semi_anti": (q_semi_anti, Q_SEMI_ANTI_SQL),
     "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
     "q_cube_status": (q_cube_status, Q_CUBE_SQL),
+    "q_pivot_status": (q_pivot_status, Q_PIVOT_SQL),
     "q_fold_assign": (q_fold_assign, Q_FOLD_SQL),
     "q_running_total": (q_running_total, Q_RUNNING_SQL),
     "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),

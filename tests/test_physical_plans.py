@@ -111,6 +111,32 @@ def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
     assert q.count() == 1_000
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a filter on the dimension side prunes the partitioned fact's
+    scan at RUNTIME — the fact reads only the dt partitions the filtered
+    dim selects (the join-driven analog of static partition pruning)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 5 + 1).cast("string")).alias("dt"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("dt").parquet(path)
+    dim = spark.createDataFrame(
+        [(f"2024-01-0{i}", f"day{i}") for i in range(1, 6)], "dt string, label string"
+    )
+    q = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("label") == "day2"), "dt")
+        .agg(F.sum("value").alias("s"))
+    )
+    plan = _plan(q).replace("\n", " ")
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from the fact scan"
+    q.collect()
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key join WITHOUT any Exchange — the
     co-located layout that removes the extraction pipeline's biggest
