@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from calamari_spark.plans.textplans import _REG_SQL, _regularized_col
 from calamari_spark.sources.tables import load_table
 
-N_HASHES = 8      # minhash signature length
+N_HASHES = 16     # minhash signature length (Jaccard estimator variance
+                  # ~ 1/sqrt(K); 8 was demo-sized)
 BAND_ROWS = 2     # rows per LSH band -> N_HASHES/BAND_ROWS bands
 MIN_SIM = 0.5     # emit pairs with signature similarity >= this
 
