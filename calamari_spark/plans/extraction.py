@@ -287,6 +287,17 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _empty_span_docs(docs: DataFrame) -> DataFrame:
+    """Docs whose spans array is null or empty, re-emitted with an empty
+    array (output doc_id set == input doc_id set). Judged from the INPUT,
+    not from explode_outer's kind-null rows: a null ELEMENT inside an
+    otherwise-real spans array would otherwise duplicate the document
+    (one empty row + one reassembled row)."""
+    return docs.filter(
+        F.col("spans").isNull() | (F.size("spans") == 0)
+    ).select("doc_id", F.array().cast(SPANS_TYPE).alias("spans"))
+
+
 def reassemble_spans(span_df: DataFrame, n_salt: int = 8) -> DataFrame:
     """Two-level salted ordered reassembly: level 1 aggregates
     (doc_id, salt) shards, level 2 merges the shards and sorts by offset.
@@ -343,12 +354,9 @@ def extract_documents(
         "offset",
     )
 
-    # docs with no spans at all (kind NULL from explode_outer) pass through
-    # with an empty spans array — output doc_id set == input doc_id set
-    empty_docs = spans.filter(F.col("kind").isNull()).select(
-        "doc_id", F.array().cast(SPANS_TYPE).alias("spans")
+    return reassemble_spans(text_spans.unionByName(recognized)).unionByName(
+        _empty_span_docs(docs)
     )
-    return reassemble_spans(text_spans.unionByName(recognized)).unionByName(empty_docs)
 
 
 def flagship_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,10 +388,9 @@ def golden_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
             "media_ref", "offset",
         )
     )
-    empty_docs = spans.filter(F.col("kind").isNull()).select(
-        "doc_id", F.array().cast(SPANS_TYPE).alias("spans")
+    return reassemble_spans(text_spans.unionByName(media_spans)).unionByName(
+        _empty_span_docs(docs)
     )
-    return reassemble_spans(text_spans.unionByName(media_spans)).unionByName(empty_docs)
 
 
 def _seq_col() -> F.Column:

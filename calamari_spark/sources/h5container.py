@@ -54,27 +54,33 @@ def _decode_col(transcript_col, codec: List[str]):
     )
 
 
-def write_h5_container(df: DataFrame, path: str, text_col: str = "text") -> List[str]:
-    """(id, text[, image, dims]) -> container directory. Returns the codec.
+def _write_container(encoded: DataFrame, codec: List[str], path: str,
+                     err: str, partition_by: Optional[str] = None) -> None:
+    """Shared container writer: validate the encoding is lossless (a char
+    outside the codec encodes to NULL, matching the reference's ValueError
+    from codec.index), then write data + meta. The encoded frame is
+    localCheckpoint'ed so its (possibly OCR-heavy) upstream pipeline runs
+    ONCE across the validation count and the write."""
+    spark = encoded.sparkSession
+    encoded = encoded.localCheckpoint()
+    n_bad = encoded.filter(F.exists("transcript", lambda v: v.isNull())).count()
+    if n_bad:
+        raise ValueError(f"{n_bad} {err}")
+    writer = encoded.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(os.path.join(path, "data.parquet"))
+    meta = spark.createDataFrame([([ord(c) for c in codec],)], "codec array<int>")
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta.parquet"))
 
-    Encoding of every text must be lossless; a text containing a char that
-    somehow escaped codec construction fails the job (null in a non-null
-    int array), matching the reference's ValueError from codec.index."""
-    spark = df.sparkSession
+
+def write_h5_container(df: DataFrame, path: str, text_col: str = "text") -> List[str]:
+    """(id, text[, image, dims]) -> container directory. Returns the codec."""
     codec = _codec_of(df, text_col)
     encoded = df.withColumn("transcript", _encode_col(F.col(text_col), codec)).drop(
         text_col
     )
-    n_bad = encoded.filter(
-        F.exists("transcript", lambda v: v.isNull())
-    ).count()
-    if n_bad:
-        raise ValueError(f"{n_bad} rows contain chars outside the container codec")
-    encoded.write.mode("overwrite").parquet(os.path.join(path, "data.parquet"))
-    meta = spark.createDataFrame(
-        [([ord(c) for c in codec],)], "codec array<int>"
-    )
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta.parquet"))
+    _write_container(encoded, codec, path, "rows contain chars outside the container codec")
     return codec
 
 
@@ -85,7 +91,6 @@ def write_fold_split(df: DataFrame, path: str, n_folds: int = 5,
     fold files). Spark shape: deterministic hash fold (retry-stable, no
     global ordering) + one partitionBy(fold_id) write; every fold shares
     the container codec."""
-    spark = df.sparkSession
     codec = _codec_of(df, text_col)
     fold = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_folds)).cast("int")
     encoded = (
@@ -93,11 +98,10 @@ def write_fold_split(df: DataFrame, path: str, n_folds: int = 5,
         .withColumn("fold_id", fold)
         .drop(text_col)
     )
-    encoded.write.mode("overwrite").partitionBy("fold_id").parquet(
-        os.path.join(path, "data.parquet")
+    _write_container(
+        encoded, codec, path, "rows contain chars outside the container codec",
+        partition_by="fold_id",
     )
-    meta = spark.createDataFrame([([ord(c) for c in codec],)], "codec array<int>")
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta.parquet"))
     return codec
 
 
@@ -125,16 +129,10 @@ def store_predictions(
     """Store predicted sentences re-encoded through the SOURCE container's
     codec (reference: reader.py:73-89 — the prediction file reuses the
     input file's codec). Sentences with out-of-codec chars fail loudly."""
-    spark = predictions.sparkSession
-    codec = read_codec(spark, src_path)
+    codec = read_codec(predictions.sparkSession, src_path)
     encoded = predictions.withColumn(
         "transcript", _encode_col(F.col(sentence_col), codec)
     ).drop(sentence_col)
-    n_bad = encoded.filter(F.exists("transcript", lambda v: v.isNull())).count()
-    if n_bad:
-        raise ValueError(
-            f"{n_bad} predictions contain chars not in the source codec"
-        )
-    encoded.write.mode("overwrite").parquet(os.path.join(out_path, "data.parquet"))
-    meta = spark.createDataFrame([([ord(c) for c in codec],)], "codec array<int>")
-    meta.write.mode("overwrite").parquet(os.path.join(out_path, "meta.parquet"))
+    _write_container(
+        encoded, codec, out_path, "predictions contain chars not in the source codec"
+    )

@@ -130,3 +130,16 @@ def test_empty_and_null_span_docs_pass_through(spark, corpus):
     assert out["one"][0]["text"] == "hi there"
     golden = {r["doc_id"]: r["spans"] for r in X.golden_documents(docs, media).collect()}
     assert set(golden) == {"empty", "null", "one"}
+
+
+def test_null_span_element_does_not_duplicate_doc(spark, corpus):
+    """A null ELEMENT inside a real spans array must not emit the doc twice
+    (once empty, once reassembled)."""
+    _, media = corpus
+    docs = spark.createDataFrame(
+        [("d", [None, ("text", " a  b ", None, 0)])],
+        f"doc_id string, spans {X.SPANS_TYPE}",
+    )
+    rows = X.extract_documents(docs, media).collect()
+    assert len(rows) == 1
+    assert [s["text"] for s in rows[0]["spans"]] == ["a b"]

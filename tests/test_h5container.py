@@ -78,3 +78,18 @@ def test_fold_split_writer(spark, tmp_path):
     # decode still works through the shared codec
     back = read_h5_container(spark, path)
     assert {r["text"] for r in back.collect()} == {"ab", "abab", "ababab"}
+
+
+def test_write_eval_report_sheets(spark, tmp_path):
+    from calamari_spark.plans.evalplans import write_eval_report
+
+    out = str(tmp_path / "report")
+    res = write_eval_report(spark, "/root/testdata/sf0.001", out)
+    assert res["sheets"] == ["per_line", "confusions", "histogram"]
+    per_line = spark.read.option("header", True).csv(f"{out}/per_line")
+    assert per_line.count() > 0
+    assert set(per_line.columns) >= {"doc_id", "gt", "pred", "len", "err", "cer", "rel_err"}
+    hist = spark.read.option("header", True).csv(f"{out}/histogram")
+    assert {"bucket", "n_lines"} <= set(hist.columns)
+    conf = spark.read.option("header", True).csv(f"{out}/confusions")
+    assert conf.count() > 0
