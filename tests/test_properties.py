@@ -103,3 +103,78 @@ def test_to_uint8_range(seed):
                 rng.randint(0, 65535, (5, 5), dtype=np.uint16)):
         out = to_uint8(arr)
         assert out.dtype == np.uint8
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(2, 5), st.integers(2, 4))
+@settings(max_examples=30, deadline=None)
+def test_ctc_loss_equals_brute_force(seed, T, n_labels):
+    """Forward-algorithm NLL == -log(sum over all collapsing paths)."""
+    import itertools
+    import math
+
+    from calamari_spark.operators.ctc_loss import ctc_loss
+
+    rng = np.random.RandomState(seed)
+    C = 4
+    sm = rng.dirichlet(np.ones(C), size=T)
+    labels = list(rng.randint(1, C, size=n_labels))
+
+    def collapse(path):
+        out, prev = [], None
+        for p in path:
+            if p != 0 and p != prev:
+                out.append(p)
+            prev = p
+        return out
+
+    total = 0.0
+    for path in itertools.product(range(C), repeat=T):
+        if collapse(path) == labels:
+            p = 1.0
+            for t, c in enumerate(path):
+                p *= sm[t, c]
+            total += p
+    expected = -math.log(total) if total > 0 else float("inf")
+    got = ctc_loss(sm, labels)
+    if expected == float("inf"):
+        assert got == float("inf")
+    else:
+        assert abs(got - expected) < 1e-9 * max(1.0, abs(expected))
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_cutout_box_mode_equals_numpy_slice(seed):
+    from calamari_spark.operators.cutout import CutMode, cutout
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (40, 60), dtype=np.uint8)
+    x0, y0 = rng.randint(0, 30), rng.randint(0, 20)
+    x1, y1 = x0 + rng.randint(1, 20), y0 + rng.randint(1, 15)
+    coords = f"{x0},{y0} {x1},{y0} {x1},{y1} {x0},{y1}"
+    cut = cutout(img, coords, mode=CutMode.BOX)
+    assert np.array_equal(cut, img[y0 : y1 + 1, x0 : x1 + 1])
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_wordlm_unigrams_sum_to_one(words):
+    from calamari_spark.operators.ctc import WordLM
+
+    lm = WordLM(" ".join(words), "abcd ", "abcd")
+    total = sum(lm.unigram(w) for w in set(w.lower() for w in words))
+    assert abs(total - 1.0) < 1e-9
+    # every corpus word is in the dictionary
+    assert all(lm.is_word(w) for w in words)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 10))
+@settings(max_examples=20, deadline=None)
+def test_augment_variant_deterministic(seed, variant):
+    from calamari_spark.operators.augment import augment_line
+
+    img = np.random.RandomState(seed).randint(0, 256, (20, 40), dtype=np.uint8)
+    a = augment_line(img, f"k{seed}", variant)
+    b = augment_line(img, f"k{seed}", variant)
+    assert np.array_equal(a, b)
+    assert a.shape == img.shape and a.dtype == np.uint8
