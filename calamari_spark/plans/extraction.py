@@ -623,6 +623,76 @@ def x_media_text_beam_oracle(sf_dir: str) -> str:
     )
 
 
+def x_media_text_wbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-beam search over the REAL template-ensemble softmax: the beam
+    is constrained to the corpus dictionary (prefix tree), chaining words
+    with allow_word_to_word since the synthetic font decodes no space
+    label. use_ngrams stays off here — with LM scoring on, chained beams
+    score zero (a reference-faithful quirk: the vendored algorithm zeroes
+    prSum when the forced word_dev reset races next_words; verified
+    fixture-equal) — so this query attests the dictionary-constrained
+    decode on real optics while x_media_text_wordlm attests LM rescoring.
+    Oracle: the space-less ground truth, exactly."""
+    docs, media = load_interleaved(spark, sf_dir)
+    lines = media.select("media_ref", "png")
+
+    vocab = sorted(
+        r["w"]
+        for r in media.select(F.explode(F.split("gt", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .collect()
+    )
+    lm_corpus = " ".join(vocab)
+
+    schema = "media_ref string, sentence string"
+    n_part = spark.sparkContext.defaultParallelism * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from calamari_spark.operators.ctc import WordLM, word_beam_decode
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(1)
+        rec = recs[0]
+        charset = "".join(codec.charset[1:])  # labels 1..N; blank excluded
+        word_chars = "".join(c for c in charset if c != " ")
+        key = "wbslm:" + _hl.sha256(f"{charset}|{lm_corpus}".encode()).hexdigest()
+        if key not in _WORKER_STATE:
+            _WORKER_STATE[key] = WordLM(lm_corpus, charset, word_chars)
+        lm = _WORKER_STATE[key]
+        for b in batches:
+            rows = []
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                pooled = rec.pooled_scores(img)
+                sm = (rec.softmax_from_scores(pooled) if pooled is not None
+                      else rec._blank_softmax(img))
+                # roll blank-first -> blank-last (this decoder's convention)
+                mat = np.concatenate([sm[:, 1:], sm[:, :1]], axis=1)
+                out = word_beam_decode(
+                    mat, charset, lm, beam_width=10,
+                    use_ngrams=False, allow_word_to_word=True,
+                )
+                rows.append({"media_ref": ref, "sentence": out})
+            yield pd.DataFrame(rows, columns=["media_ref", "sentence"])
+
+    return (
+        lines.repartition(n_part, "media_ref")
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_ref")
+    )
+
+
+def x_media_text_wbs_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return (
+        f"SELECT media_ref, replace(gt, ' ', '') AS sentence"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
+    )
+
+
 def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-beam search WITH unigram-LM scoring as a distributed stage
     (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM). The LM's
@@ -867,6 +937,7 @@ EXTRACTION_QUERIES = {
     "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
+    "x_media_text_wbs": _sfq(x_media_text_wbs, x_media_text_wbs_oracle),
     "x_media_text_wordlm": _sfq(x_media_text_wordlm, x_media_text_wordlm_oracle),
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
