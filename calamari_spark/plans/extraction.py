@@ -693,6 +693,63 @@ def x_media_text_wbs_oracle(sf_dir: str) -> str:
     )
 
 
+def x_media_text_tokenpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graves token passing as a distributed stage (reference:
+    token_passing_ctc_decoder.py:92-179): each line's first TWO words are
+    decoded from a deterministic GT-derived softmax through the word-level
+    DP over the corpus dictionary (37 words at sf0.01; token passing is
+    O(words x states x frames), so dictionaries stay small by design —
+    the reference ships it with the same caveat). Oracle: the first two
+    ground-truth words."""
+    docs, media = load_interleaved(spark, sf_dir)
+    lines = media.select("media_ref", "gt")
+    vocab = sorted(
+        r["w"]
+        for r in lines.select(F.explode(F.split("gt", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .collect()
+    )
+
+    schema = "media_ref string, two_words string"
+    n_part = spark.sparkContext.defaultParallelism * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.ctc import token_passing_decode
+
+        charset = sorted({c for w in vocab for c in w})
+        col = {c: i for i, c in enumerate(charset)}
+        blank = len(charset)
+        for b in batches:
+            rows = []
+            for ref, gt in zip(b["media_ref"], b["gt"]):
+                words = gt.split(" ")[:2]
+                seq = "".join(words)
+                mat = np.full((2 * len(seq), blank + 1), 1e-5)
+                for i, ch in enumerate(seq):
+                    mat[2 * i, col[ch]] = 1.0
+                    mat[2 * i + 1, blank] = 1.0
+                mat /= mat.sum(axis=1, keepdims=True)
+                out = token_passing_decode(mat, charset, vocab, blank=blank)
+                rows.append({"media_ref": ref, "two_words": out})
+            yield pd.DataFrame(rows, columns=["media_ref", "two_words"])
+
+    return (
+        lines.repartition(n_part, "media_ref")
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_ref")
+    )
+
+
+def x_media_text_tokenpass_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+SELECT media_ref,
+       string_split(gt, ' ')[1] || ' ' || string_split(gt, ' ')[2] AS two_words
+FROM read_parquet('{media}') ORDER BY media_ref
+"""
+
+
 def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-beam search WITH unigram-LM scoring as a distributed stage
     (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM). The LM's
@@ -938,6 +995,7 @@ EXTRACTION_QUERIES = {
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
     "x_media_text_wbs": _sfq(x_media_text_wbs, x_media_text_wbs_oracle),
+    "x_media_text_tokenpass": _sfq(x_media_text_tokenpass, x_media_text_tokenpass_oracle),
     "x_media_text_wordlm": _sfq(x_media_text_wordlm, x_media_text_wordlm_oracle),
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
