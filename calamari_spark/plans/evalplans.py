@@ -202,20 +202,31 @@ CER_BIN = 0.05  # histogram bin width (reference: scripts/eval.py:52-135)
 def q_cer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-line CER histogram (reference: scripts/eval.py:52-135 renders a
     matplotlib histogram; the aggregation itself is floor(ler/bin) groupBy).
-    One partial-aggregated shuffle on the bucket key — scale-safe."""
+    One partial-aggregated shuffle on the bucket key — scale-safe.
+
+    The per-bucket average is the MICRO average round(sum(errs)/sum(chars))
+    built from exact integer partial sums, not avg(ler): a float64 mean of
+    per-line ratios is partition-order-dependent under Spark's partial
+    aggregation and can flip a round(...,6) boundary vs DuckDB's sequential
+    sum (the repo's cross-engine FP rule); integer sums are order-exact."""
     docs = load_table(spark, "documents", sf_dir)
     per_line = _gt_pred(docs).select(
-        (F.levenshtein("gt", "pred") / F.length("gt")).alias("ler")
+        F.length("gt").alias("chars"),
+        F.levenshtein("gt", "pred").alias("errs"),
     )
+    # bucket from the per-line ratio: one float64 division + one floor per
+    # row, bit-identical across engines (no summation involved)
     return (
-        per_line.withColumn("bucket", F.floor(F.col("ler") / CER_BIN).cast("int"))
+        per_line.withColumn(
+            "bucket", F.floor((F.col("errs") / F.col("chars")) / CER_BIN).cast("int")
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.avg("ler"), 6).alias("avg_ler_in_bucket"),
+            F.round(F.sum("errs") / F.sum("chars"), 6).alias("bucket_cer"),
         )
         .withColumn("bucket_lo", F.round(F.col("bucket") * CER_BIN, 2))
-        .select("bucket", "bucket_lo", "n_lines", "avg_ler_in_bucket")
+        .select("bucket", "bucket_lo", "n_lines", "bucket_cer")
         .orderBy("bucket")
     )
 
@@ -224,11 +235,12 @@ Q_CER_HIST_SQL = f"""
 SELECT bucket,
        round(bucket * {CER_BIN}, 2) AS bucket_lo,
        count(*) AS n_lines,
-       round(avg(ler), 6) AS avg_ler_in_bucket
+       round(CAST(sum(errs) AS DOUBLE) / sum(chars), 6) AS bucket_cer
 FROM (
-  SELECT CAST(floor(ler / {CER_BIN}) AS INTEGER) AS bucket, ler
+  SELECT CAST(floor((CAST(errs AS DOUBLE) / chars) / {CER_BIN}) AS INTEGER) AS bucket,
+         chars, errs
   FROM (
-    SELECT CAST(levenshtein(gt, pred) AS DOUBLE) / length(gt) AS ler
+    SELECT length(gt) AS chars, levenshtein(gt, pred) AS errs
     FROM (
       SELECT {_REG_SQL} AS gt,
              replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred

@@ -288,13 +288,16 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def _empty_span_docs(docs: DataFrame) -> DataFrame:
-    """Docs whose spans array is null or empty, re-emitted with an empty
-    array (output doc_id set == input doc_id set). Judged from the INPUT,
-    not from explode_outer's kind-null rows: a null ELEMENT inside an
-    otherwise-real spans array would otherwise duplicate the document
-    (one empty row + one reassembled row)."""
+    """Docs whose spans array is null, empty, or holds ONLY null elements,
+    re-emitted with an empty array (output doc_id set == input doc_id set).
+    Judged from the INPUT on the count of NON-NULL elements: a null element
+    alongside a real span must not duplicate the document, while a spans
+    array of nothing but nulls (e.g. [null]) would otherwise vanish — its
+    explode_outer rows are kind-null (skipped by both kind branches) and a
+    bare size(spans)==0 test misses it."""
     return docs.filter(
-        F.col("spans").isNull() | (F.size("spans") == 0)
+        F.col("spans").isNull()
+        | (F.size(F.filter("spans", lambda s: s.isNotNull())) == 0)
     ).select("doc_id", F.array().cast(SPANS_TYPE).alias("spans"))
 
 

@@ -120,16 +120,17 @@ def test_empty_and_null_span_docs_pass_through(spark, corpus):
         [
             ("empty", []),
             ("null", None),
+            ("all_null", [None]),
             ("one", [("text", " hi  there ", None, 0)]),
         ],
         f"doc_id string, spans {X.SPANS_TYPE}",
     )
     out = {r["doc_id"]: r["spans"] for r in X.extract_documents(docs, media).collect()}
-    assert set(out) == {"empty", "null", "one"}
-    assert out["empty"] == [] and out["null"] == []
+    assert set(out) == {"empty", "null", "all_null", "one"}
+    assert out["empty"] == [] and out["null"] == [] and out["all_null"] == []
     assert out["one"][0]["text"] == "hi there"
     golden = {r["doc_id"]: r["spans"] for r in X.golden_documents(docs, media).collect()}
-    assert set(golden) == {"empty", "null", "one"}
+    assert set(golden) == {"empty", "null", "all_null", "one"}
 
 
 def test_null_span_element_does_not_duplicate_doc(spark, corpus):
