@@ -183,17 +183,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
+    from calamari_spark.plans.dedup import banded_candidates
+
+    # hot-bucket guard: a degenerate hyperplane bucket (mass-duplicated
+    # embeddings) star-reduces instead of exploding O(b^2) — same scheme
+    # and cap as the MinHash path, mirrored in the oracle below
+    cand = banded_candidates(bands, "vec_id", "id_a", "id_b")
 
     # candidate scoring: vectorized over pairs, dim-SEQUENTIAL accumulation
     # so the float64 sum order matches DuckDB's list_dot_product exactly
@@ -242,6 +237,8 @@ def _neardup_lsh_oracle() -> str:
             bit_expr(H[b * NEARDUP_LSH_BITS + r]) for r in range(NEARDUP_LSH_BITS)
         ) + ")"
 
+    from calamari_spark.plans.dedup import banded_candidates_sql
+
     band_rows = ", ".join(f"({b}, {key_expr(b)})" for b in range(NEARDUP_LSH_BANDS))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -249,11 +246,7 @@ bands AS (
   SELECT vec_id, band, key
   FROM e, LATERAL (VALUES {band_rows}) AS v(band, key)
 ),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-)
+{banded_candidates_sql("vec_id", "id_a", "id_b")}
 SELECT id_a, id_b,
        round(list_dot_product(ea.emb, eb.emb) /
              (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine

@@ -16,7 +16,7 @@ text) so the two methods are comparable on the same corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from calamari_spark.plans.textplans import _REG_SQL, _regularized_col
@@ -26,6 +26,69 @@ N_HASHES = 16     # minhash signature length (Jaccard estimator variance
                   # ~ 1/sqrt(K); 8 was demo-sized)
 BAND_ROWS = 2     # rows per LSH band -> N_HASHES/BAND_ROWS bands
 MIN_SIM = 0.5     # emit pairs with signature similarity >= this
+HOT_BUCKET_CAP = 64  # band buckets above this size are star-reduced
+
+
+def banded_candidates(bands: DataFrame, id_col: str, out_a: str, out_b: str,
+                      cap: int = HOT_BUCKET_CAP) -> DataFrame:
+    """Candidate pairs from (id, band, key) rows with a hot-bucket guard.
+
+    Buckets of size <= cap self-join as usual. A DEGENERATE bucket (mass-
+    duplicated boilerplate: at 10^12 docs one hot band key otherwise makes
+    an O(b^2) join partition before distinct — the classic skew blow-up
+    that MAX_DF already prevents on the shingle join) instead emits STAR
+    pairs to the bucket's min id: b-1 edges, same connected components.
+    The star keeps every bucket member reachable from the minimum, so
+    downstream cluster resolution (connected_components) is unchanged for
+    true duplicate clusters — their pairwise similarity is maximal, so the
+    post-join similarity filter passes star edges exactly like full edges.
+    Pair-level RECALL above the cap is intentionally reduced (b-1 of
+    b(b-1)/2 pairs); the DuckDB oracle implements the identical scheme.
+    Bucket stats come from one window over (band, key) — the same
+    partitioning the self-join shuffles to anyway."""
+    w = W.partitionBy("band", "key")
+    stats = bands.select(
+        F.col(id_col),
+        "band",
+        "key",
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        F.min(id_col).over(w).alias("bmin"),
+    )
+    normal = stats.filter(F.col("bsize") <= cap).select(id_col, "band", "key")
+    a, b = normal.alias("a"), normal.alias("b")
+    normal_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
+    star_pairs = stats.filter(
+        (F.col("bsize") > cap) & (F.col(id_col) != F.col("bmin"))
+    ).select(F.col("bmin").alias(out_a), F.col(id_col).alias(out_b))
+    return normal_pairs.unionByName(star_pairs).distinct()
+
+
+def banded_candidates_sql(id_col: str, out_a: str, out_b: str,
+                          cap: int = HOT_BUCKET_CAP) -> str:
+    """The oracle-side mirror of banded_candidates: CTE bodies `bstats` and
+    `cand` over an existing `bands(id, band, key)` CTE."""
+    return f"""bstats AS (
+  SELECT {id_col}, band, key,
+         count(*) OVER (PARTITION BY band, key) AS bsize,
+         min({id_col}) OVER (PARTITION BY band, key) AS bmin
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT {out_a}, {out_b} FROM (
+    SELECT a.{id_col} AS {out_a}, b.{id_col} AS {out_b}
+    FROM bstats a JOIN bstats b
+      ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
+    WHERE a.bsize <= {cap} AND b.bsize <= {cap}
+    UNION ALL
+    SELECT bmin AS {out_a}, {id_col} AS {out_b} FROM bstats
+    WHERE bsize > {cap} AND {id_col} != bmin
+  )
+)"""
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -56,12 +119,12 @@ _SHINGLES_SQL = f"""
 """
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH candidate join.
 
     One shuffle builds signatures (groupBy doc), one shuffle buckets bands,
-    one joins candidates back to signatures. No cross join anywhere."""
-    docs = load_table(spark, "documents", sf_dir)
+    one joins candidates back to signatures. No cross join anywhere, and
+    degenerate band buckets are star-reduced (banded_candidates)."""
     sh = _shingles(docs)
 
     sig = sh.groupBy("doc_id").agg(
@@ -90,17 +153,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = banded_candidates(bands, "doc_id", "doc_a", "doc_b", cap=cap)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
     matches = sum(
@@ -114,6 +167,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "minhash_sim")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(load_table(spark, "documents", sf_dir))
 
 
 def _minhash_parts() -> tuple:
@@ -142,11 +199,7 @@ bands AS (
   SELECT doc_id, band, key
   FROM sig, (VALUES {band_rows}) AS v(band, key)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)"""
+{banded_candidates_sql("doc_id", "doc_a", "doc_b")}"""
     pair_select = f"""SELECT doc_a, doc_b,
        round(({matches}) / {N_HASHES}.0, 6) AS minhash_sim
 FROM cand

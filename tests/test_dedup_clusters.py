@@ -42,3 +42,28 @@ def test_cluster_query_marks_duplicates(spark):
         by_keeper.setdefault(r["keeper"], []).append(r["doc_id"])
     for keeper, members in by_keeper.items():
         assert keeper == min(members)
+
+
+def test_hot_bucket_star_reduction_preserves_clusters(spark):
+    """A 1000-copy duplicate cluster: with the HOT_BUCKET_CAP guard the
+    band-bucket join emits star pairs (999 edges) instead of ~500k, and the
+    resolved clusters are IDENTICAL to the uncapped full join."""
+    from calamari_spark.plans.dedup import minhash_pairs
+
+    texts = [("doc_%06d" % i, "copy copy copy of the same boilerplate page body text")
+             for i in range(1000)]
+    texts += [("zzz_%03d" % i, f"unique document number {i} with its own words entirely")
+              for i in range(5)]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+
+    capped = minhash_pairs(docs, cap=64).select("doc_a", "doc_b")
+    n_capped = capped.count()
+    # star reduction: the 1000-clique collapses to 999 edges (one per band,
+    # distinct-merged), far below the ~499k of the full self-join
+    assert n_capped <= 2000, n_capped
+
+    cc_capped = {r["doc_id"]: r["keeper"] for r in connected_components(capped).collect()}
+    full = minhash_pairs(docs, cap=10**9).select("doc_a", "doc_b")
+    cc_full = {r["doc_id"]: r["keeper"] for r in connected_components(full).collect()}
+    assert cc_capped == cc_full
+    assert sum(1 for k in cc_capped.values() if k == "doc_000000") == 1000
