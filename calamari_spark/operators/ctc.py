@@ -120,6 +120,26 @@ class PrefixTree:
                 return set()
         return set(node.children.keys())
 
+    def words_below(self, labels: Sequence[int]) -> List[Tuple[int, ...]]:
+        """Every complete word under the given prefix (prefix included when
+        it is itself a word), in sorted label order — the tree walk serving
+        WordLM.next_words, replacing an O(vocab) linear scan per prefix."""
+        node = self
+        for l in labels:
+            node = node.children.get(l)
+            if node is None:
+                return []
+        out: List[Tuple[int, ...]] = []
+
+        def dfs(n: "PrefixTree", path: Tuple[int, ...]) -> None:
+            if n.is_word:
+                out.append(path)
+            for l in sorted(n.children):
+                dfs(n.children[l], path + (l,))
+
+        dfs(node, tuple(labels))
+        return out
+
 
 def prefix_beam_decode(
     probabilities: np.ndarray,
@@ -251,7 +271,6 @@ class WordLM:
             self.bigrams[w1] = {w2: c / total for w2, c in d.items()}
 
         self._tree = PrefixTree()
-        self._words_by_prefix_cache: Dict[str, List[str]] = {}
         self._vocab = uniq
         for w in uniq:
             self._tree.add([ord(c) for c in w])
@@ -287,11 +306,14 @@ class WordLM:
         return out
 
     def next_words(self, prefix: str) -> List[str]:
-        if prefix not in self._words_by_prefix_cache:
-            self._words_by_prefix_cache[prefix] = [
-                w for w in self._vocab if w.startswith(prefix)
-            ]
-        return self._words_by_prefix_cache[prefix]
+        """Dictionary words extending ``prefix``, served from the prefix
+        tree (subtree walk, no vocab-wide scan, no unbounded memo — at a
+        real-corpus vocabulary the linear scan per new prefix was the
+        executor-side hot spot)."""
+        return [
+            "".join(chr(l) for l in labels)
+            for labels in self._tree.words_below([ord(c) for c in prefix])
+        ]
 
 
 class _WBeam:

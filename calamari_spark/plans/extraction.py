@@ -86,7 +86,22 @@ def interleaved_dir(spark: SparkSession, sf_dir: str) -> str:
         from calamari_spark.sources.synth import write_corpus
 
         write_corpus(spark, out, N_DOCS[sf], corpus="main", skew_tail=True)
+    if not os.path.exists(os.path.join(out, "vocab.json")):
+        # corpora materialized before vocab shipping: backfill the model
+        # constant once (the offline LM-training step, not query work)
+        from calamari_spark.sources.synth import write_vocab
+
+        write_vocab(spark, out)
     return out
+
+
+def load_vocab(sf_dir: str) -> Dict[str, int]:
+    """word -> count model constant written by the corpus materialization
+    (sources/synth.py write_vocab); a tiny local JSON read, no Spark job."""
+    import json
+
+    with open(os.path.join(interleaved_dir_path(sf_dir), "vocab.json")) as f:
+        return json.load(f)
 
 
 def load_interleaved(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataFrame]:
@@ -639,13 +654,10 @@ def x_media_text_wbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = load_interleaved(spark, sf_dir)
     lines = media.select("media_ref", "png")
 
-    vocab = sorted(
-        r["w"]
-        for r in media.select(F.explode(F.split("gt", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .collect()
-    )
+    # dictionary = the corpus vocab.json MODEL CONSTANT (written once by
+    # the corpus materialization, sources/synth.py write_vocab) — no
+    # query-time corpus-wide collect
+    vocab = sorted(load_vocab(sf_dir))
     lm_corpus = " ".join(vocab)
 
     schema = "media_ref string, sentence string"
@@ -698,44 +710,34 @@ def x_media_text_wbs_oracle(sf_dir: str) -> str:
 
 def x_media_text_tokenpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graves token passing as a distributed stage (reference:
-    token_passing_ctc_decoder.py:92-179): each line's first TWO words are
-    decoded from a deterministic GT-derived softmax through the word-level
-    DP over the corpus dictionary (37 words at sf0.01; token passing is
-    O(words x states x frames), so dictionaries stay small by design —
-    the reference ships it with the same caveat). Oracle: the first two
-    ground-truth words."""
+    token_passing_ctc_decoder.py:92-179): the FULL line is decoded from the
+    REAL template softmax through the word-level DP over the corpus
+    dictionary (vocab.json model constant, 37 words at sf0.01; token
+    passing is O(words x states x frames), so dictionaries stay small by
+    design — the reference ships it with the same caveat). The DP models
+    no separator, so recovering the exact word sequence from real optics
+    IS the attestation. Oracle: the full ground truth."""
     docs, media = load_interleaved(spark, sf_dir)
-    lines = media.select("media_ref", "gt")
-    vocab = sorted(
-        r["w"]
-        for r in lines.select(F.explode(F.split("gt", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .collect()
-    )
+    lines = media.select("media_ref", "png")
+    vocab = sorted(load_vocab(sf_dir))
 
-    schema = "media_ref string, two_words string"
+    schema = "media_ref string, sentence string"
     n_part = spark.sparkContext.defaultParallelism * 2
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from calamari_spark.operators.ctc import token_passing_decode
+        from calamari_spark.sources.pngio import decode_png
 
-        charset = sorted({c for w in vocab for c in w})
-        col = {c: i for i, c in enumerate(charset)}
-        blank = len(charset)
+        codec, recs = _get_recognizers(1)
+        rec = recs[0]
         for b in batches:
             rows = []
-            for ref, gt in zip(b["media_ref"], b["gt"]):
-                words = gt.split(" ")[:2]
-                seq = "".join(words)
-                mat = np.full((2 * len(seq), blank + 1), 1e-5)
-                for i, ch in enumerate(seq):
-                    mat[2 * i, col[ch]] = 1.0
-                    mat[2 * i + 1, blank] = 1.0
-                mat /= mat.sum(axis=1, keepdims=True)
-                out = token_passing_decode(mat, charset, vocab, blank=blank)
-                rows.append({"media_ref": ref, "two_words": out})
-            yield pd.DataFrame(rows, columns=["media_ref", "two_words"])
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                sm = rec.forward_single(img)  # blank-first [T, classes]
+                out = token_passing_decode(sm, codec.charset, vocab, blank=0)
+                rows.append({"media_ref": ref, "sentence": out})
+            yield pd.DataFrame(rows, columns=["media_ref", "sentence"])
 
     return (
         lines.repartition(n_part, "media_ref")
@@ -746,60 +748,61 @@ def x_media_text_tokenpass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_media_text_tokenpass_oracle(sf_dir: str) -> str:
     media = _fixture_glob(sf_dir, "line_images")
-    return f"""
-SELECT media_ref,
-       string_split(gt, ' ')[1] || ' ' || string_split(gt, ' ')[2] AS two_words
-FROM read_parquet('{media}') ORDER BY media_ref
-"""
+    return (
+        f"SELECT media_ref, gt AS sentence"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
+    )
 
 
 def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-beam search WITH unigram-LM scoring as a distributed stage
     (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM). The LM's
-    word counts come from one tiny Spark agg over the corpus (at 100 TB the
-    LM is trained offline the same way and shipped as a model constant —
-    like the IVF centroids). Each line's first word is decoded from a
-    deterministic GT-derived softmax through the LM-constrained beam, so
-    the oracle is the GT's first word."""
+    word counts are the vocab.json MODEL CONSTANT (trained offline by the
+    corpus materialization and shipped like the IVF centroids). Each line's
+    FIRST word is decoded from the REAL template softmax: the first-word
+    frame range is found from the optics alone (inter-word glyph-start gaps
+    are 16 px = 4 pooled frames exactly, intra-word gaps 2-3 — the same
+    fixed font metric _spaces_between uses), the slice runs through the
+    LM-constrained beam with use_ngrams scoring. Oracle: the GT's first
+    word."""
     docs, media = load_interleaved(spark, sf_dir)
-    lines = media.select("media_ref", "gt")
+    lines = media.select("media_ref", "png")
 
-    # vocabulary + counts: the LM training agg (one shuffle over tiny data)
-    counts = (
-        lines.select(F.explode(F.split("gt", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .count()
-        .collect()
-    )
-    vocab = sorted((r["w"], int(r["count"])) for r in counts)
-    charset = "".join(sorted({c for w, _ in vocab for c in w}))
+    counts = load_vocab(sf_dir)
+    vocab = sorted(counts.items())
     lm_corpus = " ".join(w for w, n in vocab for _ in range(min(n, 50)))
 
     schema = "media_ref string, first_word string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from calamari_spark.operators.ctc import WordLM, word_beam_decode
-
         import hashlib as _hl
 
+        from calamari_spark.operators.ctc import WordLM, word_beam_decode
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(1)
+        rec = recs[0]
+        charset = "".join(codec.charset[1:])  # labels 1..N; blank excluded
+        word_chars = "".join(c for c in charset if c != " ")
         # key on the corpus CONTENT: same-size vocabularies from different
         # corpora must not reuse a stale cached LM
         key = "wordlm:" + _hl.sha256(f"{charset}|{lm_corpus}".encode()).hexdigest()
         if key not in _WORKER_STATE:
-            _WORKER_STATE[key] = WordLM(lm_corpus, charset, charset)
+            _WORKER_STATE[key] = WordLM(lm_corpus, charset, word_chars)
         lm = _WORKER_STATE[key]
-        col = {c: i for i, c in enumerate(charset)}
-        blank = len(charset)
         for b in batches:
             rows = []
-            for ref, gt in zip(b["media_ref"], b["gt"]):
-                word = gt.split(" ")[0]
-                mat = np.full((2 * len(word), len(charset) + 1), 1e-4)
-                for i, ch in enumerate(word):
-                    mat[2 * i, col[ch]] = 1.0
-                    mat[2 * i + 1, blank] = 1.0
-                mat /= mat.sum(axis=1, keepdims=True)
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                sm = rec.forward_single(img)  # blank-first [T, classes]
+                peaks = np.flatnonzero(sm.argmax(axis=1) != 0)
+                cut = sm.shape[0]
+                for a, c in zip(peaks, peaks[1:]):
+                    if c - a >= 4:  # first inter-word gap
+                        cut = int(a) + 2
+                        break
+                # roll blank-first -> blank-last (this decoder's convention)
+                mat = np.concatenate([sm[:cut, 1:], sm[:cut, :1]], axis=1)
                 out = word_beam_decode(mat, charset, lm, beam_width=10, use_ngrams=True)
                 rows.append({"media_ref": ref, "first_word": out})
             yield pd.DataFrame(rows, columns=["media_ref", "first_word"])

@@ -160,6 +160,34 @@ def write_corpus(spark: SparkSession, out_dir: str, n_docs: int,
     docs, media = generate_corpus(spark, n_docs, corpus, skew_tail)
     docs.write.mode("overwrite").parquet(f"{out_dir}/documents_spans.parquet")
     media.write.mode("overwrite").parquet(f"{out_dir}/line_images.parquet")
+    write_vocab(spark, out_dir)
+
+
+def write_vocab(spark: SparkSession, out_dir: str) -> None:
+    """The offline LM-training step: word -> count over the corpus ground
+    truth, persisted next to the corpus as ``vocab.json``. Dictionary
+    decoders (word-beam / token-passing / word-LM) load this MODEL CONSTANT
+    instead of running a corpus-wide distinct().collect() per query — the
+    same shipped-artifact pattern as the IVF centroids. Runs once per
+    corpus materialization; the aggregate's output is bounded by the
+    vocabulary (closed by construction here; at a real corpus this job is
+    the LM-training pipeline and ships its artifact the same way)."""
+    import json
+    import os
+
+    media = spark.read.parquet(f"{out_dir}/line_images.parquet")
+    counts = (
+        media.select(F.explode(F.split("gt", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab = {r["w"]: int(r["count"]) for r in counts}
+    tmp = os.path.join(out_dir, "vocab.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(vocab, f, sort_keys=True, indent=0)
+    os.replace(tmp, os.path.join(out_dir, "vocab.json"))
 
 
 def expected_text_output(noisy: str) -> str:
