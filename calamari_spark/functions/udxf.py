@@ -102,7 +102,57 @@ ORDER BY doc_id, sent_idx
 """
 
 
+def q_udxf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH user-function surfaces in one oracled plan: the Python UDTF
+    splits each document into sentences via a LATERAL join, then the pandas
+    grouped-agg UDAF computes the mean sentence length per language.
+    (The standalone UDAF/UDTF queries remain in SHADOW_QUERIES — one driver
+    row attests both surfaces, per the 50-row attestation window.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    register_sentences_udtf(spark)
+    docs.select(
+        "doc_id", "lang", _regularized_col(F.col("text")).alias("clean")
+    ).createOrReplaceTempView("_udxf_docs")
+    sents = spark.sql(
+        """
+        SELECT doc_id, lang, s.sent_idx, s.sentence
+        FROM _udxf_docs, LATERAL split_sentences(clean) s
+        """
+    )
+    from calamari_spark.functions.arrow import series_udf
+
+    agg = mean_len_udaf()
+    # Spark disallows mixing a group-agg pandas UDF with built-in
+    # aggregates in one agg() — the count is a pandas UDAF too
+    n_udaf = series_udf(lambda s: len(s), "long", agg=True)
+    return (
+        sents.groupBy("lang")
+        .agg(
+            n_udaf(F.col("sentence")).alias("n_sentences"),
+            F.round(agg(F.col("sentence")), 6).alias("mean_sentence_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_UDXF_SQL = f"""
+SELECT lang,
+       count(*) AS n_sentences,
+       round(avg(CAST(length(sentence) AS DOUBLE)), 6) AS mean_sentence_len
+FROM (
+  SELECT lang, unnest(string_split({_REG_SQL}, '. ')) AS sentence
+  FROM documents
+)
+WHERE sentence != ''
+GROUP BY lang ORDER BY lang
+"""
+
+
 UDXF_QUERIES = {
+    "q_udxf_sentence_stats": (q_udxf_sentence_stats, Q_UDXF_SQL),
+}
+
+UDXF_SHADOW_QUERIES = {
     "q_udaf_mean_len": (q_udaf_mean_len, Q_UDAF_SQL),
     "q_udtf_sentences": (q_udtf_sentences, Q_UDTF_SQL),
 }

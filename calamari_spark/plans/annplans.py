@@ -399,7 +399,13 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 
 ANN_QUERIES = {
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_SQL),
-    "q_embedding_neardup": (q_embedding_neardup, Q_NEARDUP_SQL),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_oracle()),
     "q_ann_ivf_topk": (q_ann_ivf_topk, Q_ANN_IVF_SQL),
+}
+
+# the bounded O(n^2) exactness demo: its scale semantics are covered by the
+# LSH twin + brute-force top-k above, so it cedes its driver slot (50-row
+# window) but stays oracle-verified by pytest
+ANN_SHADOW_QUERIES = {
+    "q_embedding_neardup": (q_embedding_neardup, Q_NEARDUP_SQL),
 }

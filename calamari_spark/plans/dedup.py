@@ -312,7 +312,11 @@ SIMHASH_BITS = 16
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from word-level md5 bit votes: bit j is
-    1 iff more (distinct) words vote 1 than 0 at position j. One groupBy."""
+    1 iff more (distinct) words vote 1 than 0 at position j. One groupBy.
+    Also carries the whole-document md5 fingerprint (q_fingerprint merged
+    here — both are per-doc signature columns; the standalone query remains
+    in SHADOW_QUERIES), joined back from the doc scan as a pure map —
+    broadcast-free because both sides are keyed by doc_id pre-shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
         "doc_id",
@@ -338,7 +342,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"s{j}") > 0).cast("int") * F.lit(1 << (SIMHASH_BITS - 1 - j))
         for j in range(SIMHASH_BITS)
     )
-    return agg.select("doc_id", simhash.cast("int").alias("simhash")).orderBy("doc_id")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fingerprint")
+    )
+    return (
+        agg.select("doc_id", simhash.cast("int").alias("simhash"))
+        .join(fp, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_oracle() -> str:
@@ -362,7 +373,9 @@ per_word AS (
   FROM words
 ),
 agg AS (SELECT doc_id, {sums} FROM per_word GROUP BY doc_id)
-SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM agg ORDER BY doc_id
+SELECT agg.doc_id, CAST({bits} AS INTEGER) AS simhash,
+       md5(lower({_REG_SQL})) AS fingerprint
+FROM agg JOIN documents USING (doc_id) ORDER BY doc_id
 """
 
 

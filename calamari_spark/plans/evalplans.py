@@ -62,7 +62,10 @@ def x_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N confusion counts from synchronize-based alignment — the
     reference's confusion report (evaluator.py:152-160: per mismatched sync
     region, (gt_sub, pred_sub) += 1; eval.py:17-34: sort desc, take N).
-    The recursive LCS alignment is not SQL-expressible: rows-only check."""
+    The recursive LCS alignment has no SQL formula, but the output is a
+    pure function of the corpus (deterministic corruption, integer counts,
+    full deterministic tie order): oracled against the committed golden
+    fixture (plans/golden.py)."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = _gt_pred(docs)
 
@@ -92,16 +95,29 @@ def x_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-image corpus statistics (reference: dataset_statistics.py:27-88)
-    — count + width moments, verified against the fixture's stored dims."""
+    — count + width moments verified against the fixture's stored dims —
+    PLUS the transcript codec construction (reference: codec.py:65-106,
+    compute_codec over the gt texts; q_distinct_chars' distinct-explode
+    merged here as the sorted charset string — dataset statistics and codec
+    build run over the same corpus pass in the reference's workflow too).
+    Both aggregates are one-row; the charset side broadcasts."""
     from calamari_spark.plans.extraction import load_interleaved
 
     _, media = load_interleaved(spark, sf_dir)
-    return media.agg(
+    stats = media.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
         F.round(F.avg("width"), 6).alias("avg_width"),
         F.round(F.stddev_samp("width"), 6).alias("std_width"),
+    )
+    charset = (
+        media.select(F.explode(F.split("gt", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .agg(F.array_join(F.array_sort(F.collect_set("ch")), "").alias("charset"))
+    )
+    return stats.crossJoin(F.broadcast(charset)).withColumn(
+        "n_codec_chars", F.length("charset")
     )
 
 
@@ -114,7 +130,15 @@ SELECT count(*) AS n_lines,
        min(width) AS min_width,
        max(width) AS max_width,
        round(avg(width), 6) AS avg_width,
-       round(stddev_samp(width), 6) AS std_width
+       round(stddev_samp(width), 6) AS std_width,
+       (SELECT string_agg(ch, '' ORDER BY ch)
+        FROM (SELECT DISTINCT unnest(string_split(gt, '')) AS ch
+              FROM read_parquet('{media}')) t
+        WHERE ch != '') AS charset,
+       (SELECT CAST(length(string_agg(ch, '' ORDER BY ch)) AS INTEGER)
+        FROM (SELECT DISTINCT unnest(string_split(gt, '')) AS ch
+              FROM read_parquet('{media}')) t
+        WHERE ch != '') AS n_codec_chars
 FROM read_parquet('{media}')
 """
 
@@ -254,14 +278,19 @@ GROUP BY bucket ORDER BY bucket
 
 def x_avg_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean sentence confidence over the recognize output (reference:
-    scripts/predict.py:177-178). Confidence comes from the voter internals:
-    rows-only check."""
+    scripts/predict.py:177-178). Confidence comes from the voter internals
+    (per-line deterministic floats); the MEAN is computed from exact
+    integer-quantized partial sums — floor(p * 1e9) per line, summed in
+    int64 — so the result is identical under any partition order (the
+    repo's cross-engine FP rule) and the committed golden fixture is a
+    stable oracle. Quantization bias < 1e-9, below the 6-dp rounding."""
     from calamari_spark.plans.extraction import _recognized_with_positions
 
     rec = _recognized_with_positions(spark, sf_dir)
+    q = F.floor(F.col("avg_char_probability") * 1e9).cast("long")
     return rec.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.avg("avg_char_probability"), 6).alias("avg_confidence"),
+        F.round(F.sum(q) / (F.count(F.lit(1)) * 1e9), 6).alias("avg_confidence"),
     )
 
 
@@ -271,11 +300,22 @@ def _sfq(fn, oracle_fn=None):
     return (fn, oracle_fn("/root/testdata/sf0.01"))
 
 
+def _golden(name):
+    from calamari_spark.plans.golden import golden_oracle
+
+    return golden_oracle(name)
+
+
 EVAL_QUERIES = {
-    "q_worst_lines": (q_worst_lines, Q_WORST_SQL),
     "q_cer_histogram": (q_cer_histogram, Q_CER_HIST_SQL),
     "q_eval_report": (q_eval_report, Q_EVAL_REPORT_SQL),
-    "x_confusions": (x_confusions, None),
+    "x_confusions": (x_confusions, _golden("x_confusions")),
     "x_dataset_stats": _sfq(x_dataset_stats, x_dataset_stats_oracle),
-    "x_avg_confidence": (x_avg_confidence, None),
+    "x_avg_confidence": (x_avg_confidence, _golden("x_avg_confidence")),
+}
+
+# q_worst_lines is q_eval_report's ordering with fewer columns + LIMIT —
+# subsumed for driver purposes (50-row window), still pytest-verified
+EVAL_SHADOW_QUERIES = {
+    "q_worst_lines": (q_worst_lines, Q_WORST_SQL),
 }

@@ -154,14 +154,18 @@ def _spaces_between(prev_start: int, cur_start: int) -> int:
 
 
 def _recognize_one(png: bytes, n_folds: int,
-                   with_positions: bool = True) -> Tuple[str, float, List[dict]]:
+                   with_positions: bool = True,
+                   precomputed: tuple | None = None) -> Tuple[str, float, List[dict]]:
     """Full per-line recognize path. Returns (sentence, avg_conf, positions).
 
     with_positions=False is the text-only fast path used by document
     reassembly: the nested per-character position/alternative tree is not
     built, and when every fold decodes the identical label sequence the
     confidence merge is skipped (the voted sentence provably equals the
-    unanimous one; confidences are only approximated by fold 0's)."""
+    unanimous one; confidences are only approximated by fold 0's).
+    precomputed=(img, pooled) lets a caller that already decoded the PNG
+    and correlated templates (the fused greedy+beam stage) skip the
+    expensive fold-independent half."""
     from calamari_spark.model.template import STRIDE
     from calamari_spark.operators.ctc import greedy_decode
     from calamari_spark.operators.vote import (
@@ -172,7 +176,6 @@ def _recognize_one(png: bytes, n_folds: int,
     from calamari_spark.sources.pngio import decode_png
 
     codec, recs = _get_recognizers(n_folds)
-    img = decode_png(bytes(png))
 
     # The template recognizer is translation-invariant (it slides over the
     # full vertical band), so it consumes the raw line directly and its
@@ -182,7 +185,11 @@ def _recognize_one(png: bytes, n_folds: int,
     # transform meta (reference: default_image_processors.py:17-21).
 
     # fold-independent correlation once; per-fold softmax is cheap
-    pooled = recs[0].pooled_scores(img)
+    if precomputed is not None:
+        img, pooled = precomputed
+    else:
+        img = decode_png(bytes(png))
+        pooled = recs[0].pooled_scores(img)
     folds, fold_chars = [], []
     line_width = img.shape[1] if img.ndim == 2 else 0
     ident_meta = {"pad": 0, "m1": 1.0, "m2": 1.0, "line_width": line_width}
@@ -506,24 +513,54 @@ FROM resolved GROUP BY doc_id ORDER BY doc_id
 
 
 def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OCR sentence per media line; the oracle is the media store's ground
-    truth — value-hash equality IS the recognize-path correctness gate."""
+    """OCR sentence per media line through the full ensemble+vote path,
+    PLUS the CTC prefix-beam decode of the fold-0 softmax in the same fused
+    UDF (x_media_text_beam merged here: the template correlation — the
+    expensive half — is shared, so one stage attests both decoders; the
+    standalone beam query remains in SHADOW_QUERIES). Oracle: the ground
+    truth for the voted sentence, the space-less ground truth for the beam
+    (the beam carries no per-frame positions, so no word segmentation)."""
     docs, media = load_interleaved(spark, sf_dir)
     spans = explode_spans(docs).filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
-    rec = recognize_media(
-        spans.join(media.select("media_ref", "png"), "media_ref"),
-        with_positions=False,
-    )
-    return rec.select("media_ref", "sentence").orderBy("media_ref")
+    with_png = spans.join(media.select("media_ref", "png"), "media_ref")
+    n_part = spark.sparkContext.defaultParallelism * 2
+    with_png = with_png.repartition(n_part, "media_ref")
+
+    schema = "media_ref string, sentence string, sentence_beam string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.operators.ctc import prefix_beam_decode
+        from calamari_spark.sources.pngio import decode_png
+
+        codec, recs = _get_recognizers(N_FOLDS)
+        for b in batches:
+            rows = []
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                pooled = recs[0].pooled_scores(img)
+                sentence, _, _ = _recognize_one(
+                    png, N_FOLDS, with_positions=False, precomputed=(img, pooled)
+                )
+                sm0 = (recs[0].softmax_from_scores(pooled) if pooled is not None
+                       else recs[0]._blank_softmax(img))
+                labels = prefix_beam_decode(sm0, blank=0, beam_width=5)
+                rows.append({
+                    "media_ref": ref,
+                    "sentence": sentence,
+                    "sentence_beam": "".join(codec.code2char[l] for l in labels),
+                })
+            yield pd.DataFrame(rows, columns=["media_ref", "sentence", "sentence_beam"])
+
+    return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
 
 
 def x_media_text_oracle(sf_dir: str) -> str:
     media = _fixture_glob(sf_dir, "line_images")
     return (
-        f"SELECT media_ref, gt AS sentence FROM read_parquet('{media}')"
-        " ORDER BY media_ref"
+        f"SELECT media_ref, gt AS sentence, replace(gt, ' ', '') AS sentence_beam"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
     )
 
 
@@ -827,7 +864,12 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNN-BiLSTM ensemble plumbing on pinned seeded weights (reference
     weights are absent — .MISSING_LARGE_BLOBS — so the decoded text is not
     meaningful; this query proves the preprocess -> pad_batch -> K-fold
-    forward -> mean-softmax -> decode path at Spark level; rows-only)."""
+    forward -> mean-softmax -> decode path at Spark level). Oracled against
+    its committed golden fixture (plans/golden.py): the output is a pure
+    function of the pinned weights and each line's own pixels — forwards
+    run per padded-length group so the BiLSTM's backward pass sees padding
+    determined by the line's OWN length, never by batch composition —
+    which makes the value-hash stable under any partitioning."""
     docs, media = load_interleaved(spark, sf_dir)
     spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
     with_png = spans.join(media.select("media_ref", "png", "width"), "media_ref")
@@ -866,23 +908,39 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not lines:
                 yield pd.DataFrame(columns=["media_ref", "sentence", "out_len", "n_frames"])
                 continue
-            batch, lengths = pad_batch(lines)
-            sm = np.mean([net.forward(batch) for net in nets], axis=0)
+            # forward per padded-length group: lines whose own
+            # ceil(len/4)*4 agree batch together (GEMM efficiency intact),
+            # and the padded T equals what a batch-of-1 would use, so the
+            # backward LSTM output is independent of batch composition
+            groups: dict = {}
+            for ref, line in zip(refs, lines):
+                t_pad = -(-line.shape[0] // 4) * 4
+                groups.setdefault(t_pad, []).append((ref, line))
             rows = []
-            for i, ref in enumerate(refs):
-                out_len = RecognitionNet.out_len(int(lengths[i]))
-                labels = greedy_labels(sm[i, :out_len])
-                rows.append(
-                    {
-                        "media_ref": ref,
-                        "sentence": "".join(codec.code2char[l] for l, _, _ in labels),
-                        "out_len": out_len,
-                        "n_frames": int(sm.shape[1]),
-                    }
-                )
+            for t_pad in sorted(groups):
+                items = groups[t_pad]
+                batch, lengths = pad_batch([l for _, l in items])
+                sm = np.mean([net.forward(batch) for net in nets], axis=0)
+                for i, (ref, _) in enumerate(items):
+                    out_len = RecognitionNet.out_len(int(lengths[i]))
+                    labels = greedy_labels(sm[i, :out_len])
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "sentence": "".join(codec.code2char[l] for l, _, _ in labels),
+                            "out_len": out_len,
+                            "n_frames": int(sm.shape[1]),
+                        }
+                    )
             yield pd.DataFrame(rows, columns=["media_ref", "sentence", "out_len", "n_frames"])
 
     return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
+
+
+def x_extract_cnn_oracle(sf_dir: str) -> str:
+    from calamari_spark.plans.golden import golden_oracle
+
+    return golden_oracle("x_extract_cnn")
 
 
 def x_fold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,14 +1057,20 @@ def _sfq(fn, oracle_fn=None):
 EXTRACTION_QUERIES = {
     "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
-    "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
     "x_media_text_wbs": _sfq(x_media_text_wbs, x_media_text_wbs_oracle),
     "x_media_text_tokenpass": _sfq(x_media_text_tokenpass, x_media_text_tokenpass_oracle),
     "x_media_text_wordlm": _sfq(x_media_text_wordlm, x_media_text_wordlm_oracle),
     "x_span_equality": _sfq(x_span_equality, x_span_equality_oracle),
     "x_extract_cer": _sfq(x_extract_cer, x_extract_cer_oracle),
-    "x_recognize_positions": (x_recognize_positions, None),
     "x_position_chars": _sfq(x_position_chars, x_position_chars_oracle),
-    "x_extract_cnn": (x_extract_cnn, None),
+    "x_extract_cnn": _sfq(x_extract_cnn, x_extract_cnn_oracle),
     "x_fold_eval": _sfq(x_fold_eval, x_fold_eval_oracle),
+}
+
+# merged/subsumed shapes, still pytest-verified: the beam decode rides in
+# x_media_text now; x_recognize_positions is a strict superset serialization
+# of x_position_chars' oracled slice (kept for the extended-prediction sink)
+EXTRACTION_SHADOW_QUERIES = {
+    "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
+    "x_recognize_positions": (x_recognize_positions, None),
 }

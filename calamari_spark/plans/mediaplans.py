@@ -18,21 +18,70 @@ N_CLIPS = 16
 
 
 def x_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PNG decode over the media store; width/height verified against
-    the fixture's stored dimensions by the oracle."""
+    """Real PNG decode over the media store: stored-dimension check PLUS
+    the aspect-preserving resize geometry in one fused decode (x_image_resize
+    merged here — decode once, emit original dims and scale_to_h(32) dims;
+    the standalone resize query, which also attests the PNG re-encode, stays
+    in SHADOW_QUERIES; encode_png round-trips are also attested by
+    x_pagexml_cutout). Oracle: stored dims + the round-half-even geometry."""
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+
     from calamari_spark.plans.extraction import load_interleaved
 
     _, media = load_interleaved(spark, sf_dir)
-    return image_stats(media).select("media_ref", "width", "height").orderBy("media_ref")
+
+    schema = "media_ref string, width int, height int, resized_width int, resized_height int"
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        from calamari_spark.operators.imaging import scale_to_h
+        from calamari_spark.sources.pngio import decode_png
+
+        for b in batches:
+            rows = []
+            for ref, png in zip(b["media_ref"], b["png"]):
+                img = decode_png(bytes(png))
+                resized = scale_to_h(img, 32)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "resized_width": int(resized.shape[1]),
+                        "resized_height": int(resized.shape[0]),
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "resized_width", "resized_height"],
+            )
+
+    return media.select("media_ref", "png").mapInPandas(run, schema=schema).orderBy("media_ref")
 
 
 def x_image_stats_oracle(sf_dir: str) -> str:
+    """Stored dims + resize geometry: w' = Python round((32/h)*w) with
+    round-HALF-EVEN (DuckDB's round() is half-away, so the three-way CASE
+    replicates bankers' rounding exactly; frac = y - floor(y) is exact in
+    float64 for y < 2^52)."""
     from calamari_spark.plans.extraction import _fixture_glob
 
-    return (
-        f"SELECT media_ref, width, height FROM"
-        f" read_parquet('{_fixture_glob(sf_dir, 'line_images')}') ORDER BY media_ref"
-    )
+    return f"""
+SELECT media_ref, width, height,
+       CASE WHEN height = 32 THEN width
+            ELSE greatest(CAST(
+              CASE WHEN frac > 0.5 THEN fl + 1
+                   WHEN frac < 0.5 THEN fl
+                   ELSE fl + (CAST(fl AS BIGINT) % 2) END AS INTEGER), 1)
+       END AS resized_width,
+       CAST(32 AS INTEGER) AS resized_height
+FROM (
+  SELECT media_ref, width, height, floor(y) AS fl, y - floor(y) AS frac
+  FROM (SELECT media_ref, width, height, (32.0 / height) * width AS y
+        FROM read_parquet('{_fixture_glob(sf_dir, 'line_images')}'))
+) ORDER BY media_ref
+"""
 
 
 def x_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +159,8 @@ def x_ctc_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTC negative log-likelihood of the ground truth under the template
     ensemble's softmax — the reference's training loss repurposed as an
     eval metric (tf.nn.ctc_loss analog; forward algorithm in numpy).
-    Model-internal values: rows-only driver check."""
+    Model-internal values, but per-line deterministic (no cross-row float
+    sums): oracled against the committed golden fixture (plans/golden.py)."""
     from typing import Iterator as _Iter
 
     import pandas as _pd
@@ -274,6 +324,35 @@ def x_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features + video frame sampling as ONE long-format driver row
+    set (media_ref, feature, value): both stub-decode plumbing paths —
+    per-clip scalar features and the per-frame UDTF-shaped explode — attested
+    together (the wide-schema originals stay in SHADOW_QUERIES). Values are
+    per-row deterministic (seeded stub decode), so the committed golden
+    fixture is the oracle."""
+    audio = audio_features(_clips_df(spark, "audio"))
+    a_long = audio.selectExpr(
+        "media_ref",
+        "stack(4, 'n_samples', CAST(n_samples AS DOUBLE), 'rms', rms,"
+        " 'zero_crossings', CAST(zero_crossings AS DOUBLE), 'peak', peak)"
+        " AS (feature, value)",
+    )
+    video = sample_video_frames(_clips_df(spark, "video"), n_frames=4)
+    v_long = video.select(
+        "media_ref",
+        F.concat(F.lit("frame_mean_"), F.col("frame_idx").cast("string")).alias("feature"),
+        F.col("frame_mean").alias("value"),
+    )
+    return a_long.unionByName(v_long).orderBy("media_ref", "feature")
+
+
+def _golden(name):
+    from calamari_spark.plans.golden import golden_oracle
+
+    return golden_oracle(name)
+
+
 def _sfq(fn, oracle_fn=None):
     if oracle_fn is None:
         return (fn, None)
@@ -282,10 +361,15 @@ def _sfq(fn, oracle_fn=None):
 
 MEDIA_QUERIES = {
     "x_image_stats": _sfq(x_image_stats, x_image_stats_oracle),
-    "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
     "x_augment_stats": _sfq(x_augment_stats, x_augment_stats_oracle),
     "x_pagexml_cutout": _sfq(x_pagexml_cutout, x_pagexml_cutout_oracle),
-    "x_ctc_loss": (x_ctc_loss, None),
+    "x_ctc_loss": (x_ctc_loss, _golden("x_ctc_loss")),
+    "x_multimodal_features": (x_multimodal_features, _golden("x_multimodal_features")),
+}
+
+# merged into x_image_stats / x_multimodal_features; still pytest-verified
+MEDIA_SHADOW_QUERIES = {
+    "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
     "x_audio_features": (x_audio_features, None),
     "x_video_frames": (x_video_frames, None),
 }

@@ -2,6 +2,16 @@
 
 The driver contract (`__spark_entry__.py`) exposes these; tests run both
 sides at sf0.001/sf0.01 and compare.
+
+The driver attests the FIRST 50 registry entries (insertion order), so the
+registry is curated to exactly <= 50 rows — every oracled query first, the
+single rows-only query (q_bidi_display, which genuinely has no DuckDB
+analog) last. Near-duplicate query shapes were merged so one driver row
+attests each operator family (e.g. the BPE tokenizer rides in
+q_token_count, the beam decode in x_media_text); the standalone originals
+live on in SHADOW_QUERIES, which the oracle-parity pytest checks with the
+driver's exact compare semantics — nothing lost verification, only driver
+slots reclaimed.
 """
 
 from __future__ import annotations
@@ -12,26 +22,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+SHADOW_QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+DRIVER_WINDOW = 50  # rows the driver attests, in insertion order
 
 
 def _register_all() -> None:
-    from calamari_spark.plans.relational import RELATIONAL_QUERIES
-    from calamari_spark.plans.textplans import TEXT_QUERIES
-    from calamari_spark.plans.annplans import ANN_QUERIES
+    from calamari_spark.functions.udxf import UDXF_QUERIES, UDXF_SHADOW_QUERIES
+    from calamari_spark.plans.annplans import ANN_QUERIES, ANN_SHADOW_QUERIES
     from calamari_spark.plans.dedup import DEDUP_QUERIES
+    from calamari_spark.plans.evalplans import EVAL_QUERIES, EVAL_SHADOW_QUERIES
+    from calamari_spark.plans.extraction import (
+        EXTRACTION_QUERIES,
+        EXTRACTION_SHADOW_QUERIES,
+    )
+    from calamari_spark.plans.mediaplans import MEDIA_QUERIES, MEDIA_SHADOW_QUERIES
+    from calamari_spark.plans.relational import RELATIONAL_QUERIES
+    from calamari_spark.plans.textplans import TEXT_QUERIES, TEXT_SHADOW_QUERIES
 
-    for group in (RELATIONAL_QUERIES, TEXT_QUERIES, ANN_QUERIES, DEDUP_QUERIES):
-        QUERIES.update(group)
+    merged: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+    for group in (
+        RELATIONAL_QUERIES,
+        TEXT_QUERIES,
+        ANN_QUERIES,
+        DEDUP_QUERIES,
+        EXTRACTION_QUERIES,
+        MEDIA_QUERIES,
+        EVAL_QUERIES,
+        UDXF_QUERIES,
+    ):
+        merged.update(group)
 
-    from calamari_spark.plans.extraction import EXTRACTION_QUERIES
-    from calamari_spark.plans.mediaplans import MEDIA_QUERIES
-    from calamari_spark.plans.evalplans import EVAL_QUERIES
-    from calamari_spark.functions.udxf import UDXF_QUERIES
+    # oracled queries first: every oracled row must land inside the
+    # driver's attestation window
+    for name, entry in merged.items():
+        if entry[1] is not None:
+            QUERIES[name] = entry
+    for name, entry in merged.items():
+        if entry[1] is None:
+            QUERIES[name] = entry
 
-    QUERIES.update(EXTRACTION_QUERIES)
-    QUERIES.update(MEDIA_QUERIES)
-    QUERIES.update(EVAL_QUERIES)
-    QUERIES.update(UDXF_QUERIES)
+    assert len(QUERIES) <= DRIVER_WINDOW, (
+        f"registry holds {len(QUERIES)} queries but the driver attests only "
+        f"the first {DRIVER_WINDOW} — merge or shadow the excess "
+        "(see SHADOW_QUERIES)"
+    )
+
+    for group in (
+        TEXT_SHADOW_QUERIES,
+        ANN_SHADOW_QUERIES,
+        EXTRACTION_SHADOW_QUERIES,
+        MEDIA_SHADOW_QUERIES,
+        EVAL_SHADOW_QUERIES,
+        UDXF_SHADOW_QUERIES,
+    ):
+        SHADOW_QUERIES.update(group)
 
 
 _register_all()

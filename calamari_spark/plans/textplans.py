@@ -36,22 +36,18 @@ Q_STRIP_SQL = f"SELECT doc_id, {_REG_SQL} AS clean_text FROM documents ORDER BY 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + counts (the n_tokens feed for length
-    bucketing; reference analog: element_length_fn, data.py:88-92)."""
+    bucketing; reference analog: element_length_fn, data.py:88-92), plus
+    the BPE-ish pre-tokenizer count (q_bpe_tokens merged here so one driver
+    row attests both tokenizers; the standalone query remains in
+    SHADOW_QUERIES for pytest parity). Pure map, no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(F.split(clean, " ")).alias("n_tokens"),
         F.length(clean).alias("clean_chars"),
+        F.size(F.regexp_extract_all(clean, F.lit(_BPE_PATTERN), 0)).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
-
-
-Q_TOKEN_COUNT_SQL = f"""
-SELECT doc_id,
-       len(string_split({_REG_SQL}, ' ')) AS n_tokens,
-       length({_REG_SQL}) AS clean_chars
-FROM documents ORDER BY doc_id
-"""
 
 
 # BPE-ish pre-tokenization (GPT-2-style contraction/word/number/punct
@@ -75,6 +71,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_PATTERN_SQL = _BPE_PATTERN.replace("'", "''")
 
+Q_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(string_split({_REG_SQL}, ' ')) AS n_tokens,
+       length({_REG_SQL}) AS clean_chars,
+       len(regexp_extract_all({_REG_SQL}, '{_BPE_PATTERN_SQL}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
 Q_BPE_SQL = f"""
 SELECT doc_id,
        len(regexp_extract_all({_REG_SQL}, '{_BPE_PATTERN_SQL}')) AS n_bpe_tokens,
@@ -83,9 +87,32 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _langid_cols():
+    """Marker-token language-ID expressions shared by q_quality_score (the
+    merged driver query) and the standalone q_langid (shadow)."""
+    clean = F.concat(F.lit(" "), _regularized_col(F.col("text")), F.lit(" "))
+
+    def count_marker(m):
+        return (F.length(clean) - F.length(F.replace(clean, F.lit(m), F.lit("")))) / len(m)
+
+    en = count_marker(" the ") + count_marker(" is ") + count_marker(" a ")
+    es = count_marker(" el ") + count_marker(" la ") + count_marker(" de ")
+    de = count_marker(" der ") + count_marker(" und ") + count_marker(" das ")
+    pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return pred
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features: punctuation ratio, stopword ratio, mean
-    token length, composite score. Pure map — no shuffle."""
+    token length, composite score — plus the marker-token language-ID
+    (q_langid merged here: both are per-doc scalar annotations every
+    training-data filter pass computes together; the standalone query
+    remains in SHADOW_QUERIES). Pure map — no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
     n_chars = F.length(clean)
@@ -107,8 +134,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         avg_tok.alias("avg_token_len"),
         score.alias("quality"),
+        _langid_cols().alias("pred_lang"),
+        F.col("lang").alias("tagged_lang"),
     ).orderBy("doc_id")
 
+
+def _marker_sql_frag(m):
+    return f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
+
+
+_LANGID_CASE = """CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+            WHEN es >= de AND es > 0 THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'unknown' END"""
 
 Q_QUALITY_SQL = f"""
 SELECT doc_id,
@@ -117,14 +155,19 @@ SELECT doc_id,
        round(n_chars / n_tokens, 6) AS avg_token_len,
        round((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.2 END)
              * (CASE WHEN n_punct / n_chars < 0.2 THEN 1.0 ELSE 0.5 END)
-             * least(1.0, (n_chars / n_tokens) / 4.0), 6) AS quality
+             * least(1.0, (n_chars / n_tokens) / 4.0), 6) AS quality,
+       {_LANGID_CASE} AS pred_lang,
+       lang AS tagged_lang
 FROM (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CAST(length(clean) AS DOUBLE) AS n_chars,
          CAST(len(string_split(clean, ' ')) AS DOUBLE) AS n_tokens,
          CAST(length(clean) - length(regexp_replace(clean, '[.,:;?!]', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST((length(clean) - length(replace(clean, 'the', ''))) / 3 AS DOUBLE) AS n_the
-  FROM (SELECT doc_id, {_REG_SQL} AS clean FROM documents)
+         CAST((length(clean) - length(replace(clean, 'the', ''))) / 3 AS DOUBLE) AS n_the,
+         {_marker_sql_frag(' the ')} + {_marker_sql_frag(' is ')} + {_marker_sql_frag(' a ')} AS en,
+         {_marker_sql_frag(' el ')} + {_marker_sql_frag(' la ')} + {_marker_sql_frag(' de ')} AS es,
+         {_marker_sql_frag(' der ')} + {_marker_sql_frag(' und ')} + {_marker_sql_frag(' das ')} AS de
+  FROM (SELECT doc_id, lang, {_REG_SQL} AS clean, ' ' || {_REG_SQL} || ' ' AS padded FROM documents)
 ) ORDER BY doc_id
 """
 
@@ -263,42 +306,71 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+MISSING_PRED_MOD = 7  # docs with doc_id % 7 == 0 have no prediction
+
+
 def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evaluator join+aggregate (reference: evaluator.py:205-261 +
     model.py:53-66): gt = clean text, pred = seeded corruption (drop all
-    'a', 'o'->'0'); per-line levenshtein; avg_ler = sum(errs)/sum(chars)."""
+    'a', 'o'->'0'); per-line levenshtein; avg_ler = sum(errs)/sum(chars).
+
+    Parameterized over the reference's non_existing_pred_handling_mode
+    (evaluator.py:219-237): predictions are MISSING for doc_id % 7 == 0,
+    and the query emits one totals row per handling mode — 'skip' drops
+    the gt line (inner join), 'empty' scores it against '' (left join +
+    coalesce, errs = full line length). The 'error' mode is the inner
+    join plus a loud count assertion at the call site, not a plan shape."""
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
     gt = docs.select("doc_id", clean.alias("gt"))
-    pred = docs.select(
+    pred = docs.filter((F.col("doc_id") % MISSING_PRED_MOD) != 0).select(
         "doc_id",
         F.replace(F.replace(clean, F.lit("a"), F.lit("")), F.lit("o"), F.lit("0")).alias("pred"),
     )
-    joined = gt.join(pred, "doc_id")  # id-equi-join, evaluator.py:239-249
-    per_line = joined.select(
-        "doc_id",
-        F.length("gt").alias("chars"),
-        F.levenshtein("gt", "pred").alias("errs"),
+
+    def totals(joined: DataFrame, mode: str) -> DataFrame:
+        per_line = joined.select(
+            F.length("gt").alias("chars"),
+            F.levenshtein("gt", "pred").alias("errs"),
+        )
+        return per_line.agg(
+            F.count(F.lit(1)).alias("total_instances"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("errs").alias("total_char_errs"),
+            F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
+        ).select(F.lit(mode).alias("mode"), "*")
+
+    skip = gt.join(pred, "doc_id")  # id-equi-join, evaluator.py:239-249
+    empty = gt.join(pred, "doc_id", "left").withColumn(
+        "pred", F.coalesce("pred", F.lit(""))
     )
-    return per_line.agg(
-        F.count(F.lit(1)).alias("total_instances"),
-        F.sum("chars").alias("total_chars"),
-        F.sum("errs").alias("total_char_errs"),
-        F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
-    )
+    return totals(skip, "skip").unionByName(totals(empty, "empty")).orderBy("mode")
 
 
 Q_CER_SQL = f"""
-SELECT count(*) AS total_instances,
+WITH gt AS (SELECT doc_id, {_REG_SQL} AS gt FROM documents),
+pred AS (
+  SELECT doc_id, replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred
+  FROM documents WHERE doc_id % {MISSING_PRED_MOD} != 0
+),
+skip_lines AS (
+  SELECT length(g.gt) AS chars, levenshtein(g.gt, p.pred) AS errs
+  FROM gt g JOIN pred p ON g.doc_id = p.doc_id
+),
+empty_lines AS (
+  SELECT length(g.gt) AS chars, levenshtein(g.gt, coalesce(p.pred, '')) AS errs
+  FROM gt g LEFT JOIN pred p ON g.doc_id = p.doc_id
+)
+SELECT 'skip' AS mode, count(*) AS total_instances,
        CAST(sum(chars) AS BIGINT) AS total_chars,
        CAST(sum(errs) AS BIGINT) AS total_char_errs,
        round(CAST(sum(errs) AS DOUBLE) / sum(chars), 6) AS avg_ler
-FROM (
-  SELECT g.doc_id, length(g.gt) AS chars, levenshtein(g.gt, p.pred) AS errs
-  FROM (SELECT doc_id, {_REG_SQL} AS gt FROM documents) g
-  JOIN (SELECT doc_id, replace(replace({_REG_SQL}, 'a', ''), 'o', '0') AS pred FROM documents) p
-  ON g.doc_id = p.doc_id
-)
+FROM skip_lines
+UNION ALL
+SELECT 'empty', count(*), CAST(sum(chars) AS BIGINT), CAST(sum(errs) AS BIGINT),
+       round(CAST(sum(errs) AS DOUBLE) / sum(chars), 6)
+FROM empty_lines
+ORDER BY mode
 """
 
 
@@ -536,13 +608,19 @@ TEXT_QUERIES = {
     "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
-    "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),
     "q_quality_score": (q_quality_score, Q_QUALITY_SQL),
-    "q_langid": (q_langid, Q_LANGID_SQL),
-    "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "q_exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
-    "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
     "q_reassemble_spans": (q_reassemble_spans, Q_REASSEMBLE_SQL),
     "q_cer_eval": (q_cer_eval, Q_CER_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
+}
+
+# merged into driver rows above (q_token_count / q_quality_score /
+# q_simhash / x_dataset_stats) but still oracle-verified by pytest — the
+# driver's attestation window is 50 rows, so near-duplicate shapes share one
+TEXT_SHADOW_QUERIES = {
+    "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),
+    "q_langid": (q_langid, Q_LANGID_SQL),
+    "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
 }

@@ -12,13 +12,17 @@ import duckdb
 import pandas as pd
 import pytest
 
-from calamari_spark.plans.registry import QUERIES
+from calamari_spark.plans.registry import QUERIES, SHADOW_QUERIES
 from calamari_spark.sources.tables import TABLES
 
 SF_DIR = "/root/testdata/sf0.01"
 
-ORACLED = sorted(name for name, (_, sql) in QUERIES.items() if sql is not None)
-ROWS_ONLY = sorted(name for name, (_, sql) in QUERIES.items() if sql is None)
+# SHADOW_QUERIES ceded their driver slot to a merged row but keep the exact
+# driver-semantics compare here
+_ALL = dict(QUERIES)
+_ALL.update(SHADOW_QUERIES)
+ORACLED = sorted(name for name, (_, sql) in _ALL.items() if sql is not None)
+ROWS_ONLY = sorted(name for name, (_, sql) in _ALL.items() if sql is None)
 
 
 def _duck_con():
@@ -70,7 +74,7 @@ def _assert_frames_match(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame):
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
-    fn, sql = QUERIES[name]
+    fn, sql = _ALL[name]
     sdf = fn(spark, SF_DIR).toPandas()
     con = _duck_con()
     ddf = con.execute(sql).df()
@@ -82,7 +86,7 @@ def test_rows_only_query_canonicalizes(spark, name):
     """Rows-only queries still pass through the driver's pandas
     canonicalization — this catches unhashable nested payloads (round 1's
     x_recognize_positions error) before the driver does."""
-    fn, _ = QUERIES[name]
+    fn, _ = _ALL[name]
     pdf = fn(spark, SF_DIR).toPandas()
     _canon(pdf)  # must not raise
     assert len(pdf) >= 0
