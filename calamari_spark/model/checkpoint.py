@@ -18,7 +18,7 @@ from typing import List, Optional
 
 import numpy as np
 
-VERSION = 1
+VERSION = 2
 
 
 @dataclass
@@ -36,7 +36,7 @@ class Checkpoint:
         cfg = {
             "version": self.version,
             "codec": {"charset": self.codec_charset},
-            "network": self.network_spec,
+            "network_spec": self.network_spec,
             "line_height": self.line_height,
             "pad": self.pad,
             "text_postproc": self.text_postproc,
@@ -48,12 +48,21 @@ class Checkpoint:
 
 
 def _migrate(cfg: dict) -> dict:
-    """Version upgrades land here (reference: saved_model.py:51-116 chains
-    one upgrade per version). Version 0 (pre-release) lacked text_postproc."""
+    """Version upgrade CHAIN — one step per version, applied in sequence
+    exactly like the reference's update_checkpoint loop (reference:
+    saved_model.py:51-116, VERSION 2..6 each with an upgrade hop).
+
+    v0 -> v1: pre-release configs lacked text_postproc (default chain).
+    v1 -> v2: the 'network' key renamed to 'network_spec' (matches the
+    dataclass field; the reference's v2->v3 hop was likewise a params
+    rename wave)."""
     v = cfg.get("version", 0)
     if v == 0:
         cfg.setdefault("text_postproc", ["quotes", "spaces"])
         cfg["version"] = 1
+    if cfg["version"] == 1:
+        cfg["network_spec"] = cfg.pop("network")
+        cfg["version"] = 2
     if cfg["version"] != VERSION:
         raise ValueError(f"cannot migrate checkpoint version {v} -> {VERSION}")
     return cfg
@@ -69,7 +78,7 @@ def load_checkpoint(ckpt_dir: str) -> Checkpoint:
         weights = {k: z[k] for k in z.files}
     return Checkpoint(
         codec_charset=cfg["codec"]["charset"],
-        network_spec=cfg["network"],
+        network_spec=cfg["network_spec"],
         line_height=cfg["line_height"],
         pad=cfg["pad"],
         text_postproc=cfg["text_postproc"],

@@ -197,8 +197,9 @@ class SpecNet:
         np.maximum(out, 0, out=out)
         return out
 
-    def forward(self, batch: np.ndarray) -> np.ndarray:
-        """[B, T, H] uint8 -> blank-first softmax [B, out_len(T), classes]."""
+    def forward(self, batch: np.ndarray, temperature: float = 0.0) -> np.ndarray:
+        """[B, T, H] uint8 -> blank-first softmax [B, out_len(T), classes].
+        temperature > 0 divides the logits pre-softmax (graph.py:92-99)."""
         x = batch.astype(np.float32) / 255.0
         x = x[..., None]
         outputs: List[np.ndarray] = []
@@ -230,6 +231,8 @@ class SpecNet:
             outputs.append(x)
         B, T = x.shape[0], x.shape[1]
         logits = x.reshape(B, T, -1) @ self.dense_k + self.dense_b
+        if temperature > 0:
+            logits = logits / np.float32(temperature)  # graph.py:96-97
         return np.roll(_softmax(logits), shift=1, axis=-1)
 
     def out_len(self, img_len: int) -> int:

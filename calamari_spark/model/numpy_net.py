@@ -141,9 +141,15 @@ class RecognitionNet:
         return out[:, ::-1, :] if reverse else out
 
     # -- forward ------------------------------------------------------------
-    def forward(self, batch: np.ndarray) -> np.ndarray:
+    def forward(self, batch: np.ndarray, temperature: float = 0.0) -> np.ndarray:
         """[B, T, H] uint8 (time-major lines, already padded to a common T
-        that is a multiple of 4) -> blank-first softmax [B, T/4, classes]."""
+        that is a multiple of 4) -> blank-first softmax [B, T/4, classes].
+
+        temperature > 0 divides the logits before the softmax (reference:
+        model/graph.py:92-99, the optional calibration knob): the argmax —
+        and therefore the greedy decode — is unchanged, but alternative
+        probabilities flatten (T > 1) or sharpen (T < 1). 0 = off (the
+        reference's default, params.temperature <= 0)."""
         x = batch.astype(np.float32) / 255.0  # graph.py:65
         x = x[..., None]
         x = self._conv3x3_relu(x, self.w["conv1_k"], self.w["conv1_b"])
@@ -157,6 +163,8 @@ class RecognitionNet:
         x = np.concatenate([fw, bw], axis=-1)
         logits = x.reshape(-1, x.shape[-1]) @ self.w["dense_k"] + self.w["dense_b"]
         logits = logits.reshape(B, T, self.classes)
+        if temperature > 0:
+            logits = logits / np.float32(temperature)  # graph.py:96-97
         # blank-last softmax rolled to blank-first (graph.py:57-61, 92-99)
         sm = _softmax(logits)
         return np.roll(sm, shift=1, axis=-1)

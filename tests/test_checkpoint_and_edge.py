@@ -76,3 +76,50 @@ def test_voter_properties():
     votes = vote_prediction([pred, pred, pred], [chars, chars, chars])
     assert votes.sentence == "".join(chars)
     assert votes.is_voted_result
+
+
+def test_checkpoint_migration_v1_committed_fixture():
+    """The committed v1 checkpoint (fixtures/checkpoints/v1) must migrate
+    through the chain: v1 -> v2 renames 'network' -> 'network_spec'
+    (reference: saved_model.py:51-116 applies one hop per version)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = load_checkpoint(os.path.join(root, "fixtures", "checkpoints", "v1"))
+    assert ck.version == VERSION == 2
+    assert ck.network_spec.startswith("cnn=40:3x3")
+    assert ck.codec_charset[:2] == ["", " "]
+
+
+def test_checkpoint_future_version_refuses(tmp_path):
+    import json
+
+    d = tmp_path / "future.ckpt"
+    d.mkdir()
+    (d / "ckpt.json").write_text(json.dumps({
+        "version": 99, "codec": {"charset": [""]},
+        "network_spec": "lstm=4", "line_height": 48, "pad": 16,
+        "text_postproc": [],
+    }))
+    with pytest.raises(ValueError):
+        load_checkpoint(str(d))
+
+
+def test_softmax_temperature_flattens_but_keeps_argmax():
+    """graph.py:92-99 parity: temperature > 1 must flatten alternative
+    probabilities without changing the argmax (so greedy text is stable
+    while find_alternatives sees different confidence mass)."""
+    from calamari_spark.model.numpy_net import RecognitionNet, pad_batch
+
+    net = RecognitionNet.pinned(6, fold=0, conv1=4, conv2=6, lstm=8)
+    rng = np.random.RandomState(7)
+    line = (rng.rand(40, 48) * 255).astype(np.uint8)
+    batch, _ = pad_batch([line])
+    cold = net.forward(batch)
+    hot = net.forward(batch, temperature=4.0)
+    assert np.array_equal(cold.argmax(-1), hot.argmax(-1))
+    # flatter: the max probability drops everywhere temperature is applied
+    assert (hot.max(-1) <= cold.max(-1) + 1e-7).all()
+    assert hot.max() < cold.max()
+    # off switch (temperature <= 0) is bit-identical to the default
+    assert np.array_equal(cold, net.forward(batch, temperature=0.0))
