@@ -11,10 +11,9 @@ column expressions wherever possible (JVM-side, whole-stage-codegen'd):
                           groups:    calamari_ocr/resources/rulegroups.json)
 
 Ruleset *data* below is re-typed from the reference's published JSON
-resources (they are declarative data, cited above, not engine code).
-The archaic-glyph ruleset ``uvius`` (private-use-area scribal abbreviations)
-is intentionally omitted: it maps font-private codepoints and is not part of
-the public extraction semantics this engine targets.
+resources (they are declarative data, cited above, not engine code) —
+including the 132-rule archaic-glyph ruleset ``uvius`` (private-use-area
+scribal abbreviations), so the full ``zpd`` group runs unabridged.
 
 Each entry: (pattern, replacement, is_regex). Rules apply **in order**;
 order matters (the reference composes them as a function chain).
@@ -94,6 +93,145 @@ RULESETS: dict[str, List[Rule]] = {
         ("\ua728", "TZ", False), ("\ua729", "tz", False),
         ("\ua760", "VY", False), ("\ua761", "vy", False),
     ],
+    # reference: resources/rulesets/uvius.json (132 raw rules, re-typed
+    # mechanically from the published JSON; private-use-area scribal
+    # abbreviations and medieval glyph normalizations for the UVius font
+    # corpora — applied LAST within the zpd group, matching
+    # resources/rulegroups.json order)
+    "uvius": [
+        ("''", "\"", False),
+        ("\ua75b", "r", False),
+        ("I", "J", False),
+        ("\u2e0d", "/", False),
+        ("q\u0308", "q\u1dd3", False),
+        ("&c\u0308", "&c\u1dd3", False),
+        ("\u1e21", "g\u1dd3", False),
+        ("v\u0309", "v\u1de3", False),
+        ("v\u1dce", "v\u1de3", False),
+        ("b\u1dce", "b\u1de3", False),
+        ("p\u1dce", "p\u1de3", False),
+        ("d\u0309", "\u00f0", False),
+        ("\ua75f", "v\u1de3", False),
+        ("t\u1de3", "t\u1dd1", False),
+        ("\u019e", "n", False),
+        ("\ue066", "C\u0323", False),
+        ("\ue1dc", "N\u0303", False),
+        ("\ue282", "Q\u0307", False),
+        ("\ue42c", "a\u0364", False),
+        ("\ue491", "\u0111", False),
+        ("\ue4e1", "e\u0363", False),
+        ("\ue5b8", "m\u0303", False),
+        ("\ue5d2", "m\u0303", False),
+        ("\ue5dc", "\u00f1", False),
+        ("\ue644", "o\u0364", False),
+        ("\ue665", "p\u0303", False),
+        ("\ue681", "q\u0303", False),
+        ("\ue68b", "\ua757\u0303", False),
+        ("\ue6e2", "t\u0301", False),
+        ("\ue72b", "u\u0364", False),
+        ("\ue72d", "\u016f", False),
+        ("\ue73a", "v\u0301", False),
+        ("\ue781", "y\u0364", False),
+        ("\ue8b7", "\u00df", False),
+        ("\ue8ba", "\ua75f", False),
+        ("\ue8bf", "q;", False),
+        ("\ueada", "\u017ft", False),
+        ("\ueba2", "\u017fi", False),
+        ("\ueba3", "\u017fl", False),
+        ("\ueba5", "\u017fp", False),
+        ("\ueba6", "\u017f\u017f", False),
+        ("\ueba7", "\u017f\u017fi", False),
+        ("\uebac", "\u00df", False),
+        ("\uebe3", "j\u0308", False),
+        ("\ueec4", "ck", False),
+        ("\ueec5", "ct", False),
+        ("\ueecb", "ft", False),
+        ("\ueed6", "pp", False),
+        ("\ueed7", "\ua753p", False),
+        ("\ueedc", "tz", False),
+        ("\uefa1", "\u00e6", False),
+        ("q\uf02f", "q\u0365", False),
+        ("\uf158", "\u204a", False),
+        ("\uf159", "\u00f0", False),
+        ("\uf160", "?", False),
+        ("\uf161", ":", False),
+        ("\uf1a5", "\ua770", False),
+        ("\uf1a6", "\ua770", False),
+        ("\uf1ac", ";", False),
+        ("t\uf1cc", "t\u1dd1", False),
+        ("\uf220", "i", False),
+        ("\uf223", "m", False),
+        ("\uf2ae", "\u2619", False),
+        ("\uf2ea", "\u2114", False),
+        ("\uf4f9", "ll", False),
+        ("\uf4fc", "\u017fk", False),
+        ("\uf4ff", "\u017f\u017ft", False),
+        ("\uf500", "a\u0363", False),
+        ("\uf501", "c\u0303", False),
+        ("\uf502", "ch", False),
+        ("\uf504", "g\u030a", False),
+        ("\uf505", "g\u0303", False),
+        ("\uf506", "h\u030a", False),
+        ("\uf507", "p\u0303", False),
+        ("\uf508", "q\u030a", False),
+        ("\uf509", "q\u0303;", False),
+        ("\uf50a", "d\\'", False),
+        ("\uf50b", "l\\'", False),
+        ("\uf50c", "q\u0301;", False),
+        ("\uf50d", "q\u0301;", False),
+        ("\uf50e", "q\u0301", False),
+        ("\uf50f", "q\u0303", False),
+        ("\uf510", "r\u0303", False),
+        ("\uf511", "s\u0303", False),
+        ("\uf512", "t\u1dd1", False),
+        ("\uf513", "v\u0306", False),
+        ("\uf514", "w\u0306", False),
+        ("\uf515", "&", False),
+        ("\uf516", "z\u0303", False),
+        ("\uf517", "c\u0303", False),
+        ("\uf518", "r\u0303", False),
+        ("\uf519", "m\u0303", False),
+        ("\uf51a", "\ua759\u1dd3", False),
+        ("\uf51b", "\u00f0", False),
+        ("\uf51d", "z\u1de3", False),
+        ("\uf51e", "\u017f\u0142", False),
+        ("\uf51f", "p\u1dd3", False),
+        ("\uf520", "\u2184\u0308", False),
+        ("\uf522", "c\u1dd3", False),
+        ("\uf523", "q\u1dd3", False),
+        ("\uf524", "b\u1de3", False),
+        ("\uf525", "h\u1de3", False),
+        ("\uf526", "p\u1de3", False),
+        ("\uf527", "v\u1de3", False),
+        ("\uf52a", "y\u1de3", False),
+        ("\uf52b", "y\u036d", False),
+        ("\uf52c", "sp", False),
+        ("\uf52d", "\u2114", False),
+        ("\uf52f", "q\u1dd3;", False),
+        ("\uf530", "s\u1dd3", False),
+        ("\uf531", "Ca", False),
+        ("\uf532", "as", False),
+        ("\uf533", "is", False),
+        ("\uf534", "us", False),
+        ("\uf535", "Qu", False),
+        ("\uf536", "ra", False),
+        ("\uf537", "ta", False),
+        ("\uf538", "\u2235", False),
+        ("\u0101", "a\u0303", False),
+        ("\u0113", "\u1ebd", False),
+        ("\u012b", "\u0129", False),
+        ("\u014d", "\u00f5", False),
+        ("\u016b", "\u0169", False),
+        ("c\u0304", "c\u0303", False),
+        ("q\u0304", "q\u0303", False),
+        ("r\u0304", "r\u0303", False),
+        ("z", "\u0292", False),
+        ("Z", "\u01b7", False),
+        ("a\u0364", "\u00e4", False),
+        ("o\u0364", "\u00f6", False),
+        ("u\u0364", "\u00fc", False),
+        ("\u2737", "*", False),
+    ],
     # reference: resources/rulesets/ligatures_vocal.json
     "ligatures_vocal": [
         ("\ua732", "AA", False), ("\ua733", "aa", False),
@@ -106,13 +244,13 @@ RULESETS: dict[str, List[Rule]] = {
     ],
 }
 
-# reference: resources/rulegroups.json ('zpd' minus the omitted 'uvius')
+# reference: resources/rulegroups.json (full zpd incl. uvius)
 RULEGROUPS: dict[str, List[str]] = {
     "no": [],
     "simple": ["spaces", "various"],
     "extended": ["quotes", "spaces", "roman_digits", "various"],
     "all": list(RULESETS.keys()),
-    "zpd": ["quotes", "spaces", "roman_digits", "ligatures_consonantal", "various", "punctuation"],
+    "zpd": ["quotes", "spaces", "roman_digits", "ligatures_consonantal", "various", "punctuation", "uvius"],
 }
 
 
@@ -216,6 +354,20 @@ def str_to_char_list(txt: str, charset: List[str]) -> List[str]:
     return out
 
 
+def _sql_apply(expr: str, rules: List[Rule]) -> str:
+    """Wrap `expr` in the ordered replace/regexp_replace chain for `rules`."""
+    for old, new, is_regex in rules:
+        # DuckDB string literals pass backslashes through to RE2
+        # verbatim ('\s+' stays \s+); only quotes need escaping
+        o = old.replace("'", "''")
+        n = new.replace("'", "''")
+        if is_regex:
+            expr = f"regexp_replace({expr}, '{o}', '{n}', 'g')"
+        else:
+            expr = f"replace({expr}, '{o}', '{n}')"
+    return expr
+
+
 def regularize_sql(col_expr: str, rulesets: List[str] | None = None,
                    rulegroups: List[str] | None = None) -> str:
     """Render the same ordered rule chain as ANSI/DuckDB SQL — generated
@@ -224,19 +376,24 @@ def regularize_sql(col_expr: str, rulesets: List[str] | None = None,
     queries)."""
     if rulesets is None and rulegroups is None:
         rulesets = ["spaces"]
-    expr = col_expr
-    for old, new, is_regex in _resolve(rulesets, rulegroups):
-        if is_regex:
-            # DuckDB string literals pass backslashes through to RE2
-            # verbatim ('\s+' stays \s+); only quotes need escaping
-            o = old.replace("'", "''")
-            n = new.replace("'", "''")
-            expr = f"regexp_replace({expr}, '{o}', '{n}', 'g')"
-        else:
-            o = old.replace("'", "''")
-            n = new.replace("'", "''")
-            expr = f"replace({expr}, '{o}', '{n}')"
-    return expr
+    return _sql_apply(col_expr, _resolve(rulesets, rulegroups))
+
+
+def regularize_sql_chunks(col_name: str, rulesets: List[str] | None = None,
+                          rulegroups: List[str] | None = None,
+                          chunk: int = 60) -> List[str]:
+    """The same ordered chain as a list of SQL expressions, each applying at
+    most `chunk` rules to column `col_name`, for composition as successive
+    CTE stages — DuckDB's expression binder caps nesting at 128 calls, which
+    the full zpd group (~192 rules incl. uvius) exceeds in a single
+    expression."""
+    if rulesets is None and rulegroups is None:
+        rulesets = ["spaces"]
+    rules = _resolve(rulesets, rulegroups)
+    return [
+        _sql_apply(col_name, rules[i:i + chunk])
+        for i in range(0, len(rules), chunk)
+    ] or [col_name]
 
 
 def strip_column(col: Column) -> Column:

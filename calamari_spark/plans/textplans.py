@@ -472,11 +472,21 @@ def q_regularize_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _regularize_extended_sql() -> str:
-    from calamari_spark.functions.text import regularize_sql
+    # The full zpd chain (incl. uvius) is ~192 rules — past DuckDB's
+    # 128-deep expression binder — so the oracle stages the chain across
+    # CTEs of <=60 nested calls each, still generated from the one rule
+    # table that drives the Spark column chain.
+    from calamari_spark.functions.text import regularize_sql_chunks
 
     payload = _RULE_PAYLOAD.replace("'", "''")
-    expr = regularize_sql(f"(text || '{payload}')", rulegroups=["zpd"])
-    return f"SELECT doc_id, {expr} AS clean_text FROM documents ORDER BY doc_id"
+    chunks = regularize_sql_chunks("t", rulegroups=["zpd"])
+    ctes = [f"s0 AS (SELECT doc_id, (text || '{payload}') AS t FROM documents)"]
+    for i, expr in enumerate(chunks, 1):
+        ctes.append(f"s{i} AS (SELECT doc_id, {expr} AS t FROM s{i - 1})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS clean_text FROM s{len(chunks)} ORDER BY doc_id"
+    )
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,14 @@ def test_ligatures_roman():
     assert regularize_str("æon œuf", rulesets=["ligatures_vocal"]) == "aeon oeuf"
 
 
+def test_uvius_scribal_rules():
+    # reference: resources/rulesets/uvius.json (raw rules, order-sensitive):
+    # I->J, z->U+0292 (ezh), U+A75B (r rotunda)->r
+    assert regularize_str("Izaak ꝛex", rulesets=["uvius"]) == "Jʒaak rex"
+    # full zpd group: quotes first (fancy double -> ''), then uvius ('' -> ")
+    assert regularize_str("“Izaak”", rulesets=[], rulegroups=["zpd"]) == '"Jʒaak"'
+
+
 def test_bidi_ltr_passthrough():
     assert bidi_str("plain latin text") == "plain latin text"
 
