@@ -126,19 +126,19 @@ def x_dataset_stats_oracle(sf_dir: str) -> str:
 
     media = _fixture_glob(sf_dir, "line_images")
     return f"""
+WITH codec AS (
+  SELECT string_agg(ch, '' ORDER BY ch) AS charset
+  FROM (SELECT DISTINCT unnest(string_split(gt, '')) AS ch
+        FROM read_parquet('{media}')) t
+  WHERE ch != ''
+)
 SELECT count(*) AS n_lines,
        min(width) AS min_width,
        max(width) AS max_width,
        round(avg(width), 6) AS avg_width,
        round(stddev_samp(width), 6) AS std_width,
-       (SELECT string_agg(ch, '' ORDER BY ch)
-        FROM (SELECT DISTINCT unnest(string_split(gt, '')) AS ch
-              FROM read_parquet('{media}')) t
-        WHERE ch != '') AS charset,
-       (SELECT CAST(length(string_agg(ch, '' ORDER BY ch)) AS INTEGER)
-        FROM (SELECT DISTINCT unnest(string_split(gt, '')) AS ch
-              FROM read_parquet('{media}')) t
-        WHERE ch != '') AS n_codec_chars
+       (SELECT charset FROM codec) AS charset,
+       (SELECT CAST(length(charset) AS INTEGER) FROM codec) AS n_codec_chars
 FROM read_parquet('{media}')
 """
 
@@ -280,14 +280,16 @@ def x_avg_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean sentence confidence over the recognize output (reference:
     scripts/predict.py:177-178). Confidence comes from the voter internals
     (per-line deterministic floats); the MEAN is computed from exact
-    integer-quantized partial sums — floor(p * 1e9) per line, summed in
-    int64 — so the result is identical under any partition order (the
+    integer-quantized partial sums — floor(p * 1e9) per line, summed as
+    decimal(38,0) (exact 128-bit integer arithmetic; int64 would wrap
+    silently past ~9.2e9 lines, decimal holds ~1e29 lines at this
+    quantum) — so the result is identical under any partition order (the
     repo's cross-engine FP rule) and the committed golden fixture is a
     stable oracle. Quantization bias < 1e-9, below the 6-dp rounding."""
     from calamari_spark.plans.extraction import _recognized_with_positions
 
     rec = _recognized_with_positions(spark, sf_dir)
-    q = F.floor(F.col("avg_char_probability") * 1e9).cast("long")
+    q = F.floor(F.col("avg_char_probability") * 1e9).cast("decimal(38,0)")
     return rec.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(q) / (F.count(F.lit(1)) * 1e9), 6).alias("avg_confidence"),

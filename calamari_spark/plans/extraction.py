@@ -512,6 +512,17 @@ FROM resolved GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _fold0_beam_sentence(codec, rec, img, pooled, beam_width: int = 5) -> str:
+    """Prefix-beam decode of one line's fold-0 softmax — the single
+    definition shared by the fused driver row (x_media_text) and its shadow
+    twin (x_media_text_beam), so the two cannot drift."""
+    from calamari_spark.operators.ctc import prefix_beam_decode
+
+    sm = rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
+    labels = prefix_beam_decode(sm, blank=0, beam_width=beam_width)
+    return "".join(codec.code2char[l] for l in labels)
+
+
 def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR sentence per media line through the full ensemble+vote path,
     PLUS the CTC prefix-beam decode of the fold-0 softmax in the same fused
@@ -531,7 +542,6 @@ def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_ref string, sentence string, sentence_beam string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from calamari_spark.operators.ctc import prefix_beam_decode
         from calamari_spark.sources.pngio import decode_png
 
         codec, recs = _get_recognizers(N_FOLDS)
@@ -543,13 +553,10 @@ def x_media_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sentence, _, _ = _recognize_one(
                     png, N_FOLDS, with_positions=False, precomputed=(img, pooled)
                 )
-                sm0 = (recs[0].softmax_from_scores(pooled) if pooled is not None
-                       else recs[0]._blank_softmax(img))
-                labels = prefix_beam_decode(sm0, blank=0, beam_width=5)
                 rows.append({
                     "media_ref": ref,
                     "sentence": sentence,
-                    "sentence_beam": "".join(codec.code2char[l] for l in labels),
+                    "sentence_beam": _fold0_beam_sentence(codec, recs[0], img, pooled),
                 })
             yield pd.DataFrame(rows, columns=["media_ref", "sentence", "sentence_beam"])
 
@@ -643,7 +650,6 @@ def x_media_text_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_ref string, sentence string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from calamari_spark.operators.ctc import prefix_beam_decode
         from calamari_spark.sources.pngio import decode_png
 
         codec, recs = _get_recognizers(1)
@@ -653,16 +659,10 @@ def x_media_text_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             for ref, png in zip(b["media_ref"], b["png"]):
                 img = decode_png(bytes(png))
                 pooled = rec.pooled_scores(img)
-                sm = (
-                    rec.softmax_from_scores(pooled)
-                    if pooled is not None
-                    else rec._blank_softmax(img)
-                )
-                labels = prefix_beam_decode(sm, blank=0, beam_width=5)
                 rows.append(
                     {
                         "media_ref": ref,
-                        "sentence": "".join(codec.code2char[l] for l in labels),
+                        "sentence": _fold0_beam_sentence(codec, rec, img, pooled),
                     }
                 )
             yield pd.DataFrame(rows, columns=["media_ref", "sentence"])

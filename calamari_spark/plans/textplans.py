@@ -175,43 +175,26 @@ FROM (
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic (deterministic, SQL-expressible
     analog of an n-gram classifier): count per-language marker substrings,
-    argmax with fixed tie order en > es > de > unknown."""
+    argmax with fixed tie order en > es > de > unknown. The expressions
+    come from the SAME _langid_cols helper the merged q_quality_score
+    uses, so driver query and shadow cannot drift."""
     docs = load_table(spark, "documents", sf_dir)
-    clean = F.concat(F.lit(" "), _regularized_col(F.col("text")), F.lit(" "))
-
-    def count_marker(m):
-        return (F.length(clean) - F.length(F.replace(clean, F.lit(m), F.lit("")))) / len(m)
-
-    en = count_marker(" the ") + count_marker(" is ") + count_marker(" a ")
-    es = count_marker(" el ") + count_marker(" la ") + count_marker(" de ")
-    de = count_marker(" der ") + count_marker(" und ") + count_marker(" das ")
-    pred = (
-        F.when((en >= es) & (en >= de) & (en > 0), "en")
-        .when((es >= de) & (es > 0), "es")
-        .when(de > 0, "de")
-        .otherwise("unknown")
-    )
     return docs.select(
-        "doc_id", pred.alias("pred_lang"), F.col("lang").alias("tagged_lang")
+        "doc_id",
+        _langid_cols().alias("pred_lang"),
+        F.col("lang").alias("tagged_lang"),
     ).orderBy("doc_id")
-
-
-def _marker_sql(m):
-    return f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(m)}"
 
 
 Q_LANGID_SQL = f"""
 SELECT doc_id,
-       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
-            WHEN es >= de AND es > 0 THEN 'es'
-            WHEN de > 0 THEN 'de'
-            ELSE 'unknown' END AS pred_lang,
+       {_LANGID_CASE} AS pred_lang,
        lang AS tagged_lang
 FROM (
   SELECT doc_id, lang,
-         {_marker_sql(' the ')} + {_marker_sql(' is ')} + {_marker_sql(' a ')} AS en,
-         {_marker_sql(' el ')} + {_marker_sql(' la ')} + {_marker_sql(' de ')} AS es,
-         {_marker_sql(' der ')} + {_marker_sql(' und ')} + {_marker_sql(' das ')} AS de
+         {_marker_sql_frag(' the ')} + {_marker_sql_frag(' is ')} + {_marker_sql_frag(' a ')} AS en,
+         {_marker_sql_frag(' el ')} + {_marker_sql_frag(' la ')} + {_marker_sql_frag(' de ')} AS es,
+         {_marker_sql_frag(' der ')} + {_marker_sql_frag(' und ')} + {_marker_sql_frag(' das ')} AS de
   FROM (SELECT doc_id, lang, ' ' || {_REG_SQL} || ' ' AS padded FROM documents)
 ) ORDER BY doc_id
 """
