@@ -111,6 +111,19 @@ def load_interleaved(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataF
     return docs, media
 
 
+def load_interleaved_tables(spark: SparkSession, docs_table: str,
+                            media_table: str) -> Tuple[DataFrame, DataFrame]:
+    """Catalog-table corpus load — the cluster path of the north rule
+    (`spark.read.table` over catalog-qualified Iceberg table names, e.g.
+    ``iceberg.web.documents_spans``). The sandbox has no Iceberg runtime
+    jar, so tests exercise the same catalog API against warehouse-managed
+    tables; only the catalog implementation behind the name differs on a
+    real cluster, not this code path. Iceberg partition pruning / metadata
+    filtering arrives through the SAME declarative scan Catalyst builds
+    here."""
+    return spark.read.table(docs_table), spark.read.table(media_table)
+
+
 # ---------------------------------------------------------------------------
 # media recognize stage (decode -> preprocess -> infer -> CTC -> vote)
 # ---------------------------------------------------------------------------

@@ -8,6 +8,12 @@ Packaging + launch (the north star's deployment shape):
         --py-files calamari_spark.zip \\
         job.py --sf-dir /root/testdata/sf0.01 --out /data/run1
 
+On a cluster the corpus comes from catalog tables instead of a path
+(the north rule's Iceberg shape — same code, catalog impl differs):
+
+    job.py --docs-table iceberg.web.documents_spans \\
+           --media-table iceberg.web.line_images --out /data/run1
+
 The job is resumable: re-submitting with the same --out picks up at
 partition (doc_id-bucket) granularity via the lineage table
 (calamari_spark.plans.lineage). Prints one JSON summary line.
@@ -24,6 +30,12 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                    help="scale-factor dir selecting the interleaved corpus")
+    p.add_argument("--docs-table", default=None,
+                   help="catalog-qualified documents table (Iceberg on a "
+                        "cluster); overrides --sf-dir when given with "
+                        "--media-table")
+    p.add_argument("--media-table", default=None,
+                   help="catalog-qualified line-images table")
     p.add_argument("--out", required=True, help="output root (extracted/lineage/metrics)")
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--buckets-per-wave", type=int, default=4)
@@ -47,10 +59,18 @@ def main(argv=None) -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from calamari_spark.plans.extraction import load_interleaved
+    from calamari_spark.plans.extraction import (
+        load_interleaved,
+        load_interleaved_tables,
+    )
     from calamari_spark.plans.lineage import run_extraction_job
 
-    docs, media = load_interleaved(spark, args.sf_dir)
+    if (args.docs_table is None) != (args.media_table is None):
+        p.error("--docs-table and --media-table must be given together")
+    if args.docs_table:
+        docs, media = load_interleaved_tables(spark, args.docs_table, args.media_table)
+    else:
+        docs, media = load_interleaved(spark, args.sf_dir)
     summary = run_extraction_job(
         spark, docs, media, args.out,
         n_buckets=args.n_buckets, buckets_per_wave=args.buckets_per_wave,

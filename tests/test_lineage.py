@@ -64,6 +64,28 @@ def test_metrics_table_shape(spark, corpus, tmp_path):
     assert total_docs == docs.count()
 
 
+def test_catalog_table_corpus_path(spark, corpus, tmp_path):
+    """The cluster ingestion path: the corpus enters via catalog table
+    names (spark.read.table — Iceberg on a real cluster, warehouse-managed
+    tables here; the API the job exercises is identical) and the job output
+    must equal the parquet-path run byte for byte."""
+    docs, media = corpus
+    docs.write.mode("overwrite").saveAsTable("it_docs_spans")
+    media.write.mode("overwrite").saveAsTable("it_line_images")
+    try:
+        tdocs, tmedia = X.load_interleaved_tables(spark, "it_docs_spans", "it_line_images")
+        out = str(tmp_path / "tbl_job")
+        r = L.run_extraction_job(spark, tdocs, tmedia, out, n_buckets=4, buckets_per_wave=4)
+        assert r["status"] == "complete"
+        got = L.read_extracted(spark, out).select("doc_id", X._seq_col().alias("seq"))
+        want = X.extract_documents(docs, media).select("doc_id", X._seq_col().alias("seq"))
+        assert got.count() == want.count() == docs.count()
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS it_docs_spans")
+        spark.sql("DROP TABLE IF EXISTS it_line_images")
+
+
 def test_bucket_assignment_deterministic_and_uniform(spark, corpus):
     docs, _ = corpus
     b1 = {r["doc_id"]: r["bucket"] for r in L.with_bucket(docs, 8).select("doc_id", "bucket").collect()}
