@@ -165,12 +165,15 @@ def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
         .withColumn("minhash_sim", F.round(matches / F.lit(N_HASHES), 6))
         .filter(F.col("minhash_sim") >= MIN_SIM)
         .select("doc_a", "doc_b", "minhash_sim")
-        .orderBy("doc_a", "doc_b")
     )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs(load_table(spark, "documents", sf_dir))
+    # the global sort exists only for the driver's deterministic compare;
+    # pipeline consumers (connected_components) take the unsorted pairs
+    return minhash_pairs(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _minhash_parts() -> tuple:
@@ -277,7 +280,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs -> connected components -> (doc_id, keeper, is_duplicate):
     the materialized keep/drop decision for the dedup pipeline."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs(load_table(spark, "documents", sf_dir)).select(
+        "doc_a", "doc_b"
+    )
     return (
         connected_components(pairs)
         .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper"))
