@@ -37,6 +37,31 @@ def test_uvius_scribal_rules():
     assert regularize_str("“Izaak”", rulesets=[], rulegroups=["zpd"]) == '"Jʒaak"'
 
 
+def test_sql_chunking_order_invariant(duck):
+    """The staged-CTE oracle (regularize_sql_chunks) must apply the rule
+    chain in the exact same order at ANY chunk size — a chunk-boundary bug
+    would silently reorder rules across stages. Checked against the Python
+    chain on inputs whose rewrites cross chunk boundaries (quotes output
+    feeds uvius's '' rule, which lives ~190 rules later)."""
+    from calamari_spark.functions.text import regularize_sql_chunks
+
+    samples = ["“Izaak”", "z ꝛ I …", "  “x”  ﬁ Ⅻ µ", "q̈ ''", ""]
+    expected = [regularize_str(s, rulesets=[], rulegroups=["zpd"]) for s in samples]
+    # chunk sizes stay under DuckDB's 128-call binder cap — a chunk big
+    # enough to hold the whole chain would just recreate the failure the
+    # staging exists to avoid
+    for chunk in (1, 7, 60, 100):
+        chunks = regularize_sql_chunks("t", rulegroups=["zpd"], chunk=chunk)
+        ctes = ["s0 AS (SELECT ? AS t)"] + [
+            f"s{i} AS (SELECT {expr} AS t FROM s{i - 1})"
+            for i, expr in enumerate(chunks, 1)
+        ]
+        sql = "WITH " + ", ".join(ctes) + f" SELECT t FROM s{len(chunks)}"
+        for s, want in zip(samples, expected):
+            got = duck.execute(sql, [s]).fetchone()[0]
+            assert got == want, (chunk, s)
+
+
 def test_bidi_ltr_passthrough():
     assert bidi_str("plain latin text") == "plain latin text"
 
