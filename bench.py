@@ -77,11 +77,31 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
     return times
 
 
+def _idle_gate(max_wait_s: int = 90, load_limit: float = 4.0) -> None:
+    """Wait (bounded) for residual box load to drain before timing.
+
+    Wall-clock on a shared box varies far beyond the usual ±25% noise band
+    when another heavy process overlaps the timed region (a leftover JVM
+    can inflate per-query numbers several-fold). Waiting costs seconds;
+    a contaminated BENCH artifact costs a round."""
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+        except OSError:
+            return
+        if load1 < load_limit:
+            return
+        time.sleep(5)
+
+
 def main() -> None:
     from calamari_spark.session import get_spark
 
     scaling = "--scaling" in sys.argv
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    _idle_gate()
 
     if scaling:
         from calamari_spark.plans.bench_scaling import run_scaling
