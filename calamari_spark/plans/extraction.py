@@ -252,7 +252,8 @@ def _recognize_one(png: bytes, n_folds: int,
 
 
 def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
-                    with_positions: bool = True) -> DataFrame:
+                    with_positions: bool = True,
+                    on_error: str = "fail") -> DataFrame:
     """mapInPandas OCR stage over (doc_id, offset, media_ref, png).
 
     The stage is compute-bound (~15 ms/line), not byte-bound, so AQE's
@@ -261,10 +262,26 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
     An explicit hash repartition on the unique media_ref pins the stage's
     parallelism to the cluster's cores (user-specified repartitions are
     exempt from AQE coalescing); at 100 TB the same repartition is what
-    balances compute across executors."""
+    balances compute across executors.
+
+    ``on_error``: a 10^12-doc corpus WILL contain corrupt blobs, and a
+    deterministic per-record raise fails the task on every retry — one bad
+    byte kills the job. "fail" (default) keeps that strict contract for
+    the driver-attested queries; "quarantine" catches per-record failures,
+    emits the row with a NULL sentence plus an ``error`` column (schema
+    gains ``error string``), and lets the job-level metrics count failures
+    per partition instead of dying."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
     spark = media_with_spans.sparkSession
     n_part = spark.sparkContext.defaultParallelism * 2
     media_with_spans = media_with_spans.repartition(n_part, "media_ref")
+
+    quarantine = on_error == "quarantine"
+    cols = [
+        "doc_id", "offset", "media_ref", "sentence",
+        "avg_char_probability", "n_folds", "positions",
+    ] + (["error"] if quarantine else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -272,29 +289,32 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
             for doc_id, offset, ref, png in zip(
                 b["doc_id"], b["offset"], b["media_ref"], b["png"]
             ):
-                sentence, conf, positions = _recognize_one(
-                    png, n_folds, with_positions
-                )
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "offset": int(offset),
-                        "media_ref": ref,
-                        "sentence": sentence,
-                        "avg_char_probability": conf,
-                        "n_folds": n_folds,
-                        "positions": positions,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "offset", "media_ref", "sentence",
-                    "avg_char_probability", "n_folds", "positions",
-                ],
-            )
+                row = {
+                    "doc_id": doc_id,
+                    "offset": int(offset),
+                    "media_ref": ref,
+                    "sentence": None,
+                    "avg_char_probability": None,
+                    "n_folds": n_folds,
+                    "positions": None,
+                }
+                if quarantine:
+                    row["error"] = None
+                    try:
+                        row["sentence"], row["avg_char_probability"], row["positions"] = (
+                            _recognize_one(png, n_folds, with_positions)
+                        )
+                    except Exception as exc:  # noqa: BLE001 — quarantine by design
+                        row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+                else:
+                    row["sentence"], row["avg_char_probability"], row["positions"] = (
+                        _recognize_one(png, n_folds, with_positions)
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media_with_spans.mapInPandas(run, schema=RECOGNIZE_SCHEMA)
+    schema = RECOGNIZE_SCHEMA + (", error string" if quarantine else "")
+    return media_with_spans.mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -365,11 +385,16 @@ def reassemble_spans(span_df: DataFrame, n_salt: int = 8) -> DataFrame:
 
 
 def extract_documents(
-    docs: DataFrame, media: DataFrame, n_folds: int = N_FOLDS
+    docs: DataFrame, media: DataFrame, n_folds: int = N_FOLDS,
+    on_error: str = "fail",
 ) -> DataFrame:
     """The full pipeline: explode -> route -> (strip | OCR) -> union ->
     salted ordered reassembly. Output schema == input schema with every
-    span's text filled (media spans carry their recognized sentence)."""
+    span's text filled (media spans carry their recognized sentence).
+
+    on_error="quarantine" (see recognize_media) keeps a document whose
+    media blob fails to decode/recognize: the failed span stays in the
+    sequence with text NULL, and the job-level metrics count it."""
     spans = explode_spans(docs)
 
     text_spans = spans.filter(F.col("kind") == "text").select(
@@ -384,7 +409,9 @@ def extract_documents(
         "doc_id", "offset", "media_ref"
     )
     with_png = media_spans.join(media.select("media_ref", "png"), "media_ref")
-    recognized = recognize_media(with_png, n_folds, with_positions=False).select(
+    recognized = recognize_media(
+        with_png, n_folds, with_positions=False, on_error=on_error
+    ).select(
         "doc_id",
         F.lit("media").alias("kind"),
         F.col("sentence").alias("text"),

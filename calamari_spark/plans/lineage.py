@@ -57,10 +57,14 @@ def run_extraction_job(
     n_buckets: int = DEFAULT_N_BUCKETS,
     buckets_per_wave: int = 4,
     fail_after_waves: Optional[int] = None,
+    on_error: str = "fail",
 ) -> Dict:
     """Resumable extraction: processes pending doc_id buckets in waves,
     committing output + lineage + metrics after each wave. Returns a
     summary dict. ``fail_after_waves`` simulates a mid-run kill (tests).
+    ``on_error="quarantine"`` (see recognize_media) survives corrupt media
+    blobs: the failed span lands with text NULL and the metrics table
+    counts it per bucket (``n_failed``).
 
     Wave sizing: each wave is one Spark job over ``buckets_per_wave``
     buckets — large enough to keep every core busy, small enough that a
@@ -95,7 +99,7 @@ def run_extraction_job(
             }
         t0 = time.perf_counter()
         wave_docs = bdocs.filter(F.col("bucket").isin([int(b) for b in wave]))
-        extracted = extract_documents(wave_docs.drop("bucket"), media)
+        extracted = extract_documents(wave_docs.drop("bucket"), media, on_error=on_error)
         out = with_bucket(extracted, n_buckets)
         out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
         wall = time.perf_counter() - t0
@@ -113,11 +117,23 @@ def run_extraction_job(
             F.sum(
                 F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
             ).alias("n_media"),
+            # quarantined records (on_error="quarantine"): a media span whose
+            # recognition failed carries text NULL; always 0 under "fail"
+            F.sum(
+                F.size(F.filter(
+                    "spans",
+                    lambda s: (s["kind"] == F.lit("media")) & s["text"].isNull(),
+                ))
+            ).alias("n_failed"),
         )
         if "gt" in media.columns:
+            # quarantined (NULL-text) spans are excluded: they are counted
+            # by n_failed, not silently folded into the CER denominator
             media_out = written.select(
                 "bucket", F.explode("spans").alias("s")
-            ).filter(F.col("s.kind") == "media").select(
+            ).filter(
+                (F.col("s.kind") == "media") & F.col("s.text").isNotNull()
+            ).select(
                 "bucket",
                 F.col("s.media_ref").alias("media_ref"),
                 F.col("s.text").alias("sentence"),

@@ -40,6 +40,11 @@ def main(argv=None) -> None:
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--buckets-per-wave", type=int, default=4)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
+                   help="per-record failure policy: fail the job (strict) or "
+                        "quarantine the record (NULL span text + n_failed "
+                        "metric) — the production setting for corpora with "
+                        "corrupt blobs")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -74,6 +79,7 @@ def main(argv=None) -> None:
     summary = run_extraction_job(
         spark, docs, media, args.out,
         n_buckets=args.n_buckets, buckets_per_wave=args.buckets_per_wave,
+        on_error=args.on_error,
     )
     print(json.dumps(summary))
     spark.stop()

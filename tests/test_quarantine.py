@@ -1,0 +1,100 @@
+"""Per-record failure policy: corrupt media blobs at 10^12-doc scale.
+
+A deterministic per-record raise inside the OCR UDF fails its task on
+every retry — one bad byte kills the whole job. on_error="fail" keeps
+that strict contract (driver-attested queries); on_error="quarantine"
+keeps the document, NULLs the failed span's text, records the error, and
+surfaces a per-bucket n_failed metric.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from calamari_spark.plans import extraction as X
+from calamari_spark.plans import lineage as L
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corrupted(spark):
+    """The sf0.001 corpus with ONE media blob replaced by garbage bytes."""
+    docs, media = X.load_interleaved(spark, SF)
+    bad_ref = media.select("media_ref").orderBy("media_ref").first()["media_ref"]
+    media_bad = media.withColumn(
+        "png",
+        F.when(F.col("media_ref") == bad_ref, F.lit(b"not a png at all"))
+        .otherwise(F.col("png")),
+    )
+    return docs, media, media_bad, bad_ref
+
+
+def test_fail_mode_raises_on_corrupt_blob(spark, corrupted):
+    docs, _, media_bad, _ = corrupted
+    with pytest.raises(Exception, match="not a PNG"):
+        X.extract_documents(docs, media_bad).count()
+
+
+def test_quarantine_keeps_document_and_nulls_failed_span(spark, corrupted):
+    docs, media, media_bad, bad_ref = corrupted
+    out = X.extract_documents(docs, media_bad, on_error="quarantine")
+    rows = out.collect()
+    # contract survives: every input doc is in the output
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in docs.collect()}
+    failed = [
+        (r["doc_id"], s)
+        for r in rows
+        for s in r["spans"]
+        if s["kind"] == "media" and s["text"] is None
+    ]
+    assert [s["media_ref"] for _, s in failed] == [bad_ref]
+    # every OTHER span equals the clean-corpus output
+    clean = {r["doc_id"]: r["spans"] for r in X.extract_documents(docs, media).collect()}
+    for r in rows:
+        for got, want in zip(r["spans"], clean[r["doc_id"]]):
+            if got["media_ref"] == bad_ref and got["kind"] == "media":
+                continue
+            assert got == want
+
+
+def test_quarantine_recognize_stage_emits_error_column(spark, corrupted):
+    docs, _, media_bad, bad_ref = corrupted
+    spans = X.explode_spans(docs).filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    with_png = spans.join(media_bad.select("media_ref", "png"), "media_ref")
+    rec = X.recognize_media(with_png, with_positions=False, on_error="quarantine")
+    errs = rec.filter(F.col("error").isNotNull()).collect()
+    assert {r["media_ref"] for r in errs} == {bad_ref}
+    assert all(r["sentence"] is None for r in errs)
+    assert all("not a PNG" in r["error"] for r in errs)
+    # clean lines are untouched
+    ok = rec.filter(F.col("error").isNull())
+    assert ok.filter(F.col("sentence").isNull()).count() == 0
+
+
+def test_quarantine_metric_counts_failures_per_bucket(spark, corrupted, tmp_path):
+    docs, _, media_bad, bad_ref = corrupted
+    out = str(tmp_path / "qjob")
+    r = L.run_extraction_job(
+        spark, docs, media_bad, out, n_buckets=4, buckets_per_wave=4,
+        on_error="quarantine",
+    )
+    assert r["status"] == "complete"
+    m = L.read_metrics(spark, out)
+    rows = m.collect()
+    assert sum(r["n_failed"] for r in rows) == 1
+    # the failure must not pollute the CER of the surviving lines
+    assert all(r["cer"] == 0.0 for r in rows if r["cer"] is not None)
+
+
+def test_bad_on_error_value_rejected(spark, corrupted):
+    docs, media, _, _ = corrupted
+    with pytest.raises(ValueError, match="on_error"):
+        spans = X.explode_spans(docs).filter(F.col("kind") == "media").select(
+            "doc_id", "offset", "media_ref"
+        )
+        X.recognize_media(
+            spans.join(media.select("media_ref", "png"), "media_ref"),
+            on_error="ignore",
+        )
