@@ -301,12 +301,19 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
                 if quarantine:
                     row["error"] = None
                     try:
+                        if png is None:
+                            raise ValueError(f"missing media blob {ref}")
                         row["sentence"], row["avg_char_probability"], row["positions"] = (
                             _recognize_one(png, n_folds, with_positions)
                         )
                     except Exception as exc:  # noqa: BLE001 — quarantine by design
                         row["error"] = f"{type(exc).__name__}: {exc}"[:500]
                 else:
+                    if png is None:
+                        # a left-joined dangling media_ref: silently dropping
+                        # the span would break the span-sequence contract, so
+                        # strict mode fails the job loudly
+                        raise ValueError(f"missing media blob {ref}")
                     row["sentence"], row["avg_char_probability"], row["positions"] = (
                         _recognize_one(png, n_folds, with_positions)
                     )
@@ -408,7 +415,14 @@ def extract_documents(
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref"
     )
-    with_png = media_spans.join(media.select("media_ref", "png"), "media_ref")
+    # LEFT join: a dangling media_ref (blob absent from the media store —
+    # inevitable at 10^12 docs) must not silently vanish from the span
+    # sequence, which an inner join would do. The NULL png row reaches the
+    # recognize stage, which fails loudly (on_error="fail") or quarantines
+    # the span with text NULL (on_error="quarantine").
+    with_png = media_spans.join(
+        media.select("media_ref", "png"), "media_ref", "left"
+    )
     recognized = recognize_media(
         with_png, n_folds, with_positions=False, on_error=on_error
     ).select(

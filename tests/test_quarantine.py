@@ -88,6 +88,40 @@ def test_quarantine_metric_counts_failures_per_bucket(spark, corrupted, tmp_path
     assert all(r["cer"] == 0.0 for r in rows if r["cer"] is not None)
 
 
+@pytest.fixture(scope="module")
+def dangling(spark):
+    """The sf0.001 corpus with ONE media blob deleted from the media store
+    (the span still references it)."""
+    docs, media = X.load_interleaved(spark, SF)
+    bad_ref = media.select("media_ref").orderBy("media_ref").first()["media_ref"]
+    media_missing = media.filter(F.col("media_ref") != bad_ref)
+    return docs, media_missing, bad_ref
+
+
+def test_dangling_media_ref_fails_loudly(spark, dangling):
+    """An inner join would silently DROP the span from the document —
+    breaking the span-sequence contract; strict mode must fail instead."""
+    docs, media_missing, _ = dangling
+    with pytest.raises(Exception, match="missing media blob"):
+        X.extract_documents(docs, media_missing).count()
+
+
+def test_dangling_media_ref_quarantined(spark, dangling):
+    docs, media_missing, bad_ref = dangling
+    out = X.extract_documents(docs, media_missing, on_error="quarantine")
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in docs.collect()}
+    kept = [
+        s
+        for r in rows
+        for s in r["spans"]
+        if s["kind"] == "media" and s["media_ref"] == bad_ref
+    ]
+    # the span is STILL IN the sequence, with NULL text
+    assert len(kept) >= 1
+    assert all(s["text"] is None for s in kept)
+
+
 def test_bad_on_error_value_rejected(spark, corrupted):
     docs, media, _, _ = corrupted
     with pytest.raises(ValueError, match="on_error"):
