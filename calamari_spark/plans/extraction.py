@@ -1108,6 +1108,59 @@ def _sfq(fn, oracle_fn=None):
     return (fn, oracle_fn("/root/testdata/sf0.01"))
 
 
+def x_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight referential/shape validation over the interleaved corpus —
+    the check a production run executes BEFORE burning cluster-hours on a
+    10^12-doc extraction: dangling media_refs (blob absent from the media
+    store), unknown span kinds, media spans with NULL refs, negative
+    offsets. One wide conditional agg + one anti join (broadcast-able
+    against the ref column); every count is 0 on a clean corpus."""
+    docs, media = load_interleaved(spark, sf_dir)
+    spans = explode_spans(docs).filter(F.col("kind").isNotNull())
+    shape = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("kind").isin("text", "media")).cast("long")).alias("bad_kind"),
+        F.sum(
+            ((F.col("kind") == "media") & F.col("media_ref").isNull()).cast("long")
+        ).alias("media_null_ref"),
+        F.sum((F.coalesce(F.col("offset"), F.lit(-1)) < 0).cast("long")).alias(
+            "bad_offset"
+        ),
+    )
+    dangling = (
+        spans.filter((F.col("kind") == "media") & F.col("media_ref").isNotNull())
+        .join(media.select("media_ref"), "media_ref", "left_anti")
+        .agg(F.count(F.lit(1)).alias("dangling_refs"))
+    )
+    return shape.crossJoin(F.broadcast(dangling))
+
+
+def x_span_integrity_oracle(sf_dir: str) -> str:
+    docs = _fixture_glob(sf_dir, "documents_spans")
+    media = _fixture_glob(sf_dir, "line_images")
+    return f"""
+WITH spans AS (
+  SELECT s.kind AS kind, s.media_ref AS media_ref, s."offset" AS off
+  FROM (SELECT unnest(spans) AS s FROM read_parquet('{docs}'))
+  WHERE s.kind IS NOT NULL
+),
+shape AS (
+  SELECT count(*) AS n_spans,
+         CAST(sum(CASE WHEN kind NOT IN ('text', 'media') THEN 1 ELSE 0 END) AS BIGINT) AS bad_kind,
+         CAST(sum(CASE WHEN kind = 'media' AND media_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS media_null_ref,
+         CAST(sum(CASE WHEN coalesce(off, -1) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_offset
+  FROM spans
+),
+dang AS (
+  SELECT count(*) AS dangling_refs FROM spans
+  WHERE kind = 'media' AND media_ref IS NOT NULL
+    AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{media}'))
+)
+SELECT n_spans, bad_kind, media_null_ref, bad_offset, dangling_refs
+FROM shape, dang
+"""
+
+
 EXTRACTION_QUERIES = {
     "x_extract_docs": _sfq(x_extract_docs, x_extract_docs_oracle),
     "x_media_text": _sfq(x_media_text, x_media_text_oracle),
@@ -1127,4 +1180,5 @@ EXTRACTION_QUERIES = {
 EXTRACTION_SHADOW_QUERIES = {
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
     "x_recognize_positions": (x_recognize_positions, None),
+    "x_span_integrity": _sfq(x_span_integrity, x_span_integrity_oracle),
 }

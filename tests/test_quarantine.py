@@ -122,6 +122,39 @@ def test_dangling_media_ref_quarantined(spark, dangling):
     assert all(s["text"] is None for s in kept)
 
 
+def test_span_integrity_detects_violations(spark, monkeypatch):
+    """x_span_integrity (pre-flight validation) must count each violation
+    class: clean corpus = all zeros; a doctored corpus with one dangling
+    ref, one unknown kind, and one negative offset reports exactly those."""
+    import calamari_spark.plans.extraction as ext
+
+    clean = ext.x_span_integrity(spark, SF).collect()[0]
+    assert clean["bad_kind"] == clean["media_null_ref"] == 0
+    assert clean["bad_offset"] == clean["dangling_refs"] == 0
+    assert clean["n_spans"] > 0
+
+    docs, media = ext.load_interleaved(spark, SF)
+    doctored = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s, i: F.struct(
+                F.when(i == 0, F.lit("mystery")).otherwise(s["kind"]).alias("kind"),
+                s["text"].alias("text"),
+                F.when(s["media_ref"] == "line_000001", F.lit("line_GONE"))
+                .otherwise(s["media_ref"]).alias("media_ref"),
+                F.when(i == 1, F.lit(-7)).otherwise(s["offset"]).alias("offset"),
+            ),
+        ).alias("spans"),
+    ).limit(1)
+    monkeypatch.setattr(
+        ext, "load_interleaved", lambda _spark, _sf: (doctored, media)
+    )
+    bad = ext.x_span_integrity(spark, SF).collect()[0]
+    assert bad["bad_kind"] == 1
+    assert bad["bad_offset"] == 1
+
+
 def test_bad_on_error_value_rejected(spark, corrupted):
     docs, media, _, _ = corrupted
     with pytest.raises(ValueError, match="on_error"):
