@@ -19,6 +19,14 @@ Design (all shuffle-aware):
 * a bucket is "committed" only after its output write succeeds: a kill
   between write and lineage append just re-does that bucket (idempotent
   thanks to dynamic overwrite).
+
+Iceberg mapping (a cluster with the Iceberg runtime): the three parquet
+path sinks become catalog tables — `extracted` via
+``df.writeTo(tbl).overwritePartitions()`` (the transactional analog of
+dynamic partition overwrite; same bucket-replacement semantics),
+`lineage`/`metrics` via ``writeTo(tbl).append()``; ``completed_buckets``
+reads ``spark.table``. The wave/commit protocol is unchanged — Iceberg
+just makes each bucket replacement a snapshot commit.
 """
 
 from __future__ import annotations
