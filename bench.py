@@ -77,22 +77,36 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
     return times
 
 
-def _idle_gate(max_wait_s: int = 90, load_limit: float = 4.0) -> None:
-    """Wait (bounded) for residual box load to drain before timing.
+def _load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return None
+
+
+def _idle_gate(max_wait_s: int = 180, load_limit: float = 2.0) -> float | None:
+    """Wait (bounded) for residual box load to drain before timing; returns
+    the loadavg the timed region actually starts under (recorded in the
+    output JSON so a contaminated run is distinguishable from a clean one).
 
     Wall-clock on a shared box varies far beyond the usual ±25% noise band
     when another heavy process overlaps the timed region (a leftover JVM
     can inflate per-query numbers several-fold). Waiting costs seconds;
     a contaminated BENCH artifact costs a round."""
     deadline = time.time() + max_wait_s
-    while time.time() < deadline:
-        try:
-            with open("/proc/loadavg") as fh:
-                load1 = float(fh.read().split()[0])
-        except OSError:
-            return
-        if load1 < load_limit:
-            return
+    while True:
+        load1 = _load1()
+        if load1 is None or load1 < load_limit:
+            return load1
+        if time.time() >= deadline:
+            # stdout must stay ONE JSON line — warn on stderr
+            print(
+                f"bench: idle gate timed out after {max_wait_s}s "
+                f"(load1={load1}); numbers may be inflated",
+                file=sys.stderr,
+            )
+            return load1
         time.sleep(5)
 
 
@@ -101,7 +115,7 @@ def main() -> None:
 
     scaling = "--scaling" in sys.argv
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    _idle_gate()
+    load_before = _idle_gate()
 
     if scaling:
         from calamari_spark.plans.bench_scaling import run_scaling
@@ -136,6 +150,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "cores": int(CPUS),
+                "load_before": load_before,
                 "extraction_docs": n_docs,
                 "extraction_lines": n_lines,
                 "docs_per_sec": round(n_docs / t_extract, 1) if t_extract else None,

@@ -291,7 +291,7 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
             ):
                 row = {
                     "doc_id": doc_id,
-                    "offset": int(offset),
+                    "offset": None,
                     "media_ref": ref,
                     "sentence": None,
                     "avg_char_probability": None,
@@ -301,6 +301,9 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
                 if quarantine:
                     row["error"] = None
                     try:
+                        # inside the try: a NULL/NaN offset is itself a
+                        # corrupt record and must quarantine, not kill the job
+                        row["offset"] = int(offset)
                         if png is None:
                             raise ValueError(f"missing media blob {ref}")
                         row["sentence"], row["avg_char_probability"], row["positions"] = (
@@ -309,6 +312,7 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
                     except Exception as exc:  # noqa: BLE001 — quarantine by design
                         row["error"] = f"{type(exc).__name__}: {exc}"[:500]
                 else:
+                    row["offset"] = int(offset)
                     if png is None:
                         # a left-joined dangling media_ref: silently dropping
                         # the span would break the span-sequence contract, so
@@ -349,18 +353,52 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_has_payload(s) -> F.Column:
+    """A span element carries content if ANY field is non-null; a null
+    element and an all-null struct are both contentless placeholders."""
+    return (
+        s["kind"].isNotNull()
+        | s["text"].isNotNull()
+        | s["media_ref"].isNotNull()
+        | s["offset"].isNotNull()
+    )
+
+
 def _empty_span_docs(docs: DataFrame) -> DataFrame:
-    """Docs whose spans array is null, empty, or holds ONLY null elements,
-    re-emitted with an empty array (output doc_id set == input doc_id set).
-    Judged from the INPUT on the count of NON-NULL elements: a null element
-    alongside a real span must not duplicate the document, while a spans
-    array of nothing but nulls (e.g. [null]) would otherwise vanish — its
-    explode_outer rows are kind-null (skipped by both kind branches) and a
-    bare size(spans)==0 test misses it."""
+    """Docs whose spans array is null, empty, or holds ONLY contentless
+    elements (null elements or all-null structs), re-emitted with an empty
+    array (output doc_id set == input doc_id set). Judged from the INPUT:
+    a null element alongside a real span must not duplicate the document,
+    while a spans array of nothing but nulls (e.g. [null] or one all-null
+    struct) would otherwise vanish — its explode_outer rows carry no
+    routable fields and a bare size(spans)==0 test misses it."""
     return docs.filter(
         F.col("spans").isNull()
-        | (F.size(F.filter("spans", lambda s: s.isNotNull())) == 0)
+        | (
+            F.size(
+                F.filter("spans", lambda s: s.isNotNull() & _span_has_payload(s))
+            )
+            == 0
+        )
     ).select("doc_id", F.array().cast(SPANS_TYPE).alias("spans"))
+
+
+def _passthrough_spans(spans: DataFrame) -> DataFrame:
+    """Spans that are neither text nor media but DO carry payload (unknown
+    kind, or kind NULL with populated fields — classic corrupt-write
+    shapes). Routing only the two known kinds would silently drop these
+    from the reassembled sequence — the same silent-loss class as a
+    dangling media_ref — so they pass through unmodified instead.
+    Contentless placeholder rows (explode_outer's null/empty markers) are
+    excluded; those docs are preserved by _empty_span_docs."""
+    payload = (
+        F.col("text").isNotNull()
+        | F.col("media_ref").isNotNull()
+        | F.col("offset").isNotNull()
+    )
+    return spans.filter(
+        ((F.col("kind").isNull() & payload) | ~F.col("kind").isin("text", "media"))
+    ).select("doc_id", "kind", "text", "media_ref", "offset")
 
 
 def reassemble_spans(span_df: DataFrame, n_salt: int = 8) -> DataFrame:
@@ -433,9 +471,9 @@ def extract_documents(
         "offset",
     )
 
-    return reassemble_spans(text_spans.unionByName(recognized)).unionByName(
-        _empty_span_docs(docs)
-    )
+    return reassemble_spans(
+        text_spans.unionByName(recognized).unionByName(_passthrough_spans(spans))
+    ).unionByName(_empty_span_docs(docs))
 
 
 def flagship_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,9 +505,9 @@ def golden_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
             "media_ref", "offset",
         )
     )
-    return reassemble_spans(text_spans.unionByName(media_spans)).unionByName(
-        _empty_span_docs(docs)
-    )
+    return reassemble_spans(
+        text_spans.unionByName(media_spans).unionByName(_passthrough_spans(spans))
+    ).unionByName(_empty_span_docs(docs))
 
 
 def _seq_col() -> F.Column:
@@ -1116,10 +1154,21 @@ def x_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets. One wide conditional agg + one anti join (broadcast-able
     against the ref column); every count is 0 on a clean corpus."""
     docs, media = load_interleaved(spark, sf_dir)
-    spans = explode_spans(docs).filter(F.col("kind").isNotNull())
+    # keep every span that CARRIES anything — including kind-NULL structs
+    # with populated fields (counted as bad_kind: extract_documents can only
+    # pass such spans through, never process them); drop only contentless
+    # placeholders (explode_outer's null/empty markers)
+    spans = explode_spans(docs).filter(
+        F.col("kind").isNotNull()
+        | F.col("text").isNotNull()
+        | F.col("media_ref").isNotNull()
+        | F.col("offset").isNotNull()
+    )
     shape = spans.agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum((~F.col("kind").isin("text", "media")).cast("long")).alias("bad_kind"),
+        F.sum(
+            (F.col("kind").isNull() | ~F.col("kind").isin("text", "media")).cast("long")
+        ).alias("bad_kind"),
         F.sum(
             ((F.col("kind") == "media") & F.col("media_ref").isNull()).cast("long")
         ).alias("media_null_ref"),
@@ -1142,19 +1191,24 @@ def x_span_integrity_oracle(sf_dir: str) -> str:
 WITH spans AS (
   SELECT s.kind AS kind, s.media_ref AS media_ref, s."offset" AS off
   FROM (SELECT unnest(spans) AS s FROM read_parquet('{docs}'))
-  WHERE s.kind IS NOT NULL
+  WHERE s.kind IS NOT NULL OR s.text IS NOT NULL
+     OR s.media_ref IS NOT NULL OR s."offset" IS NOT NULL
 ),
 shape AS (
   SELECT count(*) AS n_spans,
-         CAST(sum(CASE WHEN kind NOT IN ('text', 'media') THEN 1 ELSE 0 END) AS BIGINT) AS bad_kind,
+         CAST(sum(CASE WHEN kind IS NULL OR kind NOT IN ('text', 'media') THEN 1 ELSE 0 END) AS BIGINT) AS bad_kind,
          CAST(sum(CASE WHEN kind = 'media' AND media_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS media_null_ref,
          CAST(sum(CASE WHEN coalesce(off, -1) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_offset
   FROM spans
 ),
 dang AS (
-  SELECT count(*) AS dangling_refs FROM spans
-  WHERE kind = 'media' AND media_ref IS NOT NULL
-    AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{media}'))
+  -- NOT EXISTS, not NOT IN: a single NULL media_ref row in the media
+  -- store would make NOT IN never-true (three-valued logic) and report 0
+  -- dangling refs on exactly the dirty corpora this query is for
+  SELECT count(*) AS dangling_refs FROM spans sp
+  WHERE sp.kind = 'media' AND sp.media_ref IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{media}') m
+                    WHERE m.media_ref = sp.media_ref)
 )
 SELECT n_spans, bad_kind, media_null_ref, bad_offset, dangling_refs
 FROM shape, dang

@@ -84,6 +84,7 @@ def run_extraction_job(
     output_dir = os.path.join(out_dir, "extracted")
     lineage_dir = os.path.join(out_dir, "lineage")
     metrics_dir = os.path.join(out_dir, "metrics")
+    quarantine_dir = os.path.join(out_dir, "quarantine")
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -165,6 +166,40 @@ def run_extraction_job(
                 "lines_per_sec", F.round(F.col("n_media") / F.lit(max(wall, 1e-9)), 2)
             )
         )
+        # quarantine table: the error REASONS. The extracted output only
+        # shows WHICH spans failed (text NULL); re-running the quarantine
+        # recognize over just those spans reproduces the deterministic
+        # error messages at O(n_failed) cost, not O(corpus)
+        if on_error == "quarantine":
+            failed = written.select(
+                "bucket", "doc_id", F.explode("spans").alias("s")
+            ).filter(
+                (F.col("s.kind") == "media") & F.col("s.text").isNull()
+            ).select(
+                "bucket", "doc_id",
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.offset").alias("offset"),
+            )
+            if failed.limit(1).count() > 0:
+                from calamari_spark.plans.extraction import recognize_media
+
+                with_png = failed.join(
+                    media.select("media_ref", "png"), "media_ref", "left"
+                )
+                errors = recognize_media(
+                    with_png.select("doc_id", "offset", "media_ref", "png"),
+                    with_positions=False, on_error="quarantine",
+                ).filter(F.col("error").isNotNull()).select(
+                    "doc_id", "media_ref", "offset", "error"
+                )
+                (
+                    errors.join(
+                        failed.select("bucket", "doc_id").distinct(), "doc_id"
+                    )
+                    .withColumn("run_id", F.lit(run_id))
+                    .write.mode("append").parquet(quarantine_dir)
+                )
+
         # lineage commits FIRST: a kill between the two writes loses this
         # wave's metrics rows but never leaves a stale metrics row claiming
         # output that a later run overwrote; read_metrics additionally
@@ -191,10 +226,28 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "extracted")).drop("bucket")
 
 
+def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Quarantined records with their error reasons (empty frame if the run
+    had none): (bucket, doc_id, media_ref, offset, error, run_id)."""
+    qdir = os.path.join(out_dir, "quarantine")
+    if not os.path.exists(qdir):
+        return spark.createDataFrame(
+            [],
+            "bucket int, doc_id string, media_ref string, offset int,"
+            " error string, run_id string",
+        )
+    return spark.read.parquet(qdir)
+
+
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Metrics rows for committed buckets only: a (bucket, run_id) row
     counts only if that exact pair is in the lineage table — stale rows
     from interrupted runs are invisible to consumers."""
-    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    # mergeSchema: a resumed --out may mix metrics files written by an
+    # older code version (e.g. pre-n_failed); plain read infers the schema
+    # from one arbitrary footer and could silently drop newer columns
+    metrics = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "metrics")
+    )
     lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
     return metrics.join(lineage, ["bucket", "run_id"], "left_semi")

@@ -47,6 +47,13 @@ def main(argv=None) -> None:
                         "corrupt blobs")
     args = p.parse_args(argv)
 
+    # validate BEFORE the (expensive) SparkSession bring-up; empty strings
+    # must error, not silently fall back to the --sf-dir corpus
+    if (args.docs_table is None) != (args.media_table is None):
+        p.error("--docs-table and --media-table must be given together")
+    if args.docs_table is not None and not (args.docs_table and args.media_table):
+        p.error("--docs-table/--media-table must be non-empty table names")
+
     from pyspark.sql import SparkSession
 
     # master/deploy settings come from spark-submit; only engine-level
@@ -70,8 +77,6 @@ def main(argv=None) -> None:
     )
     from calamari_spark.plans.lineage import run_extraction_job
 
-    if (args.docs_table is None) != (args.media_table is None):
-        p.error("--docs-table and --media-table must be given together")
     if args.docs_table:
         docs, media = load_interleaved_tables(spark, args.docs_table, args.media_table)
     else:

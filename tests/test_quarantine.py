@@ -86,6 +86,49 @@ def test_quarantine_metric_counts_failures_per_bucket(spark, corrupted, tmp_path
     assert sum(r["n_failed"] for r in rows) == 1
     # the failure must not pollute the CER of the surviving lines
     assert all(r["cer"] == 0.0 for r in rows if r["cer"] is not None)
+    # the quarantine table carries the REASON, reachable from the job output
+    q = L.read_quarantine(spark, out).collect()
+    assert len(q) == 1
+    assert q[0]["media_ref"] == bad_ref
+    assert "not a PNG" in q[0]["error"]
+
+
+def test_unknown_and_null_kind_spans_pass_through(spark):
+    """Spans that are neither text nor media but carry payload (unknown
+    kind, or kind NULL with populated fields) must survive extraction
+    unmodified — not be silently dropped; a doc whose only span is an
+    all-null struct is preserved with an empty spans array."""
+    docs, media = X.load_interleaved(spark, SF)
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    weird = spark.createDataFrame(
+        [
+            ("w1", [("mystery", "payload A", None, 0), ("text", "hi", None, 1)]),
+            ("w2", [(None, "null-kind payload", None, 0)]),
+            ("w3", [(None, None, None, None)]),  # all-null struct
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r["spans"] for r in X.extract_documents(weird, media).collect()}
+    assert set(out) == {"w1", "w2", "w3"}
+    assert [(s["kind"], s["text"]) for s in out["w1"]] == [
+        ("mystery", "payload A"), ("text", "hi"),
+    ]
+    assert [(s["kind"], s["text"]) for s in out["w2"]] == [(None, "null-kind payload")]
+    assert out["w3"] == []
+    # the pre-flight validator counts both bad-kind shapes
+    import calamari_spark.plans.extraction as ext
+
+    orig = ext.load_interleaved
+    try:
+        ext.load_interleaved = lambda _s, _d: (weird, media)
+        rep = ext.x_span_integrity(spark, SF).collect()[0]
+    finally:
+        ext.load_interleaved = orig
+    assert rep["bad_kind"] == 2  # 'mystery' + null-kind-with-payload
+    assert rep["n_spans"] == 3  # the all-null struct is a placeholder, not a span
 
 
 @pytest.fixture(scope="module")
