@@ -198,6 +198,82 @@ def test_span_integrity_detects_violations(spark, monkeypatch):
     assert bad["bad_offset"] == 1
 
 
+def test_contract_holds_on_adversarial_random_corpus(spark):
+    """Doc-set and span-multiset preservation over a seeded batch of random
+    adversarial shapes (no media spans, so the whole batch runs in one fast
+    Spark job): arrays that are None/empty/[null]/all-null structs, unknown
+    kinds, NULL kinds with payload, NULL and negative offsets. Contract:
+    every input doc_id appears exactly once in the output, every
+    payload-carrying span survives (text spans regularized, everything else
+    byte-identical), placeholders vanish."""
+    import random
+
+    from calamari_spark.functions.text import regularize_str
+
+    rng = random.Random(0xC0FFEE)
+    kinds = ["text", "weird", "x", None]
+    docs_rows = []
+    for i in range(60):
+        doc_id = f"r{i:03d}"
+        shape = rng.random()
+        if shape < 0.1:
+            docs_rows.append((doc_id, None))
+            continue
+        if shape < 0.2:
+            docs_rows.append((doc_id, []))
+            continue
+        spans = []
+        for j in range(rng.randint(1, 6)):
+            if rng.random() < 0.15:
+                spans.append(None)
+                continue
+            if rng.random() < 0.1:
+                spans.append((None, None, None, None))
+                continue
+            kind = rng.choice(kinds)
+            text = rng.choice([f"body {i}.{j}", "", None])
+            offset = rng.choice([j, -j - 1, None])
+            spans.append((kind, text, None, offset))
+        docs_rows.append((doc_id, spans))
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(docs_rows, schema)
+    _, media = X.load_interleaved(spark, SF)
+    out = {r["doc_id"]: r["spans"] for r in X.extract_documents(docs, media).collect()}
+
+    assert sorted(out) == sorted(d for d, _ in docs_rows)
+    for doc_id, spans in docs_rows:
+        payload = [
+            s for s in (spans or [])
+            if s is not None and any(v is not None for v in s)
+        ]
+        got = out[doc_id]
+        assert len(got) == len(payload), doc_id
+        # sort both by the same total-order key (None sorts first)
+        order = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+        want = sorted(
+            [
+                (
+                    s[0],
+                    regularize_str(s[1], rulesets=X.TEXT_RULESETS)
+                    if s[0] == "text" and s[1] is not None else s[1],
+                    s[2],
+                    s[3],
+                )
+                for s in payload
+            ],
+            key=order,
+        )
+        got_t = sorted(
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got],
+            key=order,
+        )
+        assert got_t == want, doc_id
+
+
 def test_bad_on_error_value_rejected(spark, corrupted):
     docs, media, _, _ = corrupted
     with pytest.raises(ValueError, match="on_error"):
