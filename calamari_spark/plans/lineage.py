@@ -228,7 +228,11 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
     """Quarantined records with their error reasons (empty frame if the run
-    had none): (bucket, doc_id, media_ref, offset, error, run_id)."""
+    had none): (bucket, doc_id, media_ref, offset, error, run_id).
+    Filtered to lineage-committed (bucket, run_id) pairs exactly like
+    read_metrics: the quarantine write precedes the lineage commit, so a
+    kill between the two leaves stale rows that a resumed run would
+    otherwise double-report."""
     qdir = os.path.join(out_dir, "quarantine")
     if not os.path.exists(qdir):
         return spark.createDataFrame(
@@ -236,7 +240,9 @@ def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
             "bucket int, doc_id string, media_ref string, offset int,"
             " error string, run_id string",
         )
-    return spark.read.parquet(qdir)
+    q = spark.read.parquet(qdir)
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    return q.join(lineage, ["bucket", "run_id"], "left_semi")
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
