@@ -301,11 +301,20 @@ def recognize_media(media_with_spans: DataFrame, n_folds: int = N_FOLDS,
                 if quarantine:
                     row["error"] = None
                     try:
-                        # inside the try: a NULL/NaN offset is itself a
-                        # corrupt record and must quarantine, not kill the job
-                        row["offset"] = int(offset)
+                        # keep a convertible offset even when the blob is
+                        # missing, but let the missing-blob error dominate a
+                        # NULL/NaN offset (report the root cause, not the
+                        # NaN-conversion it would mask); a bad offset with a
+                        # good blob is itself a corrupt record to quarantine
+                        off_exc = None
+                        try:
+                            row["offset"] = int(offset)
+                        except Exception as oe:  # noqa: BLE001
+                            off_exc = oe
                         if png is None:
                             raise ValueError(f"missing media blob {ref}")
+                        if off_exc is not None:
+                            raise off_exc
                         row["sentence"], row["avg_char_probability"], row["positions"] = (
                             _recognize_one(png, n_folds, with_positions)
                         )
@@ -353,15 +362,22 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _span_has_payload(s) -> F.Column:
-    """A span element carries content if ANY field is non-null; a null
-    element and an all-null struct are both contentless placeholders."""
+def _payload_cols(kind, text, media_ref, offset) -> F.Column:
+    """A span carries content if ANY field is non-null; a null element and
+    an all-null struct are both contentless placeholders. The SINGLE
+    definition behind _span_has_payload / _passthrough_spans /
+    x_span_integrity — one edit point when the span struct grows a field
+    (the DuckDB oracle in x_span_integrity_oracle mirrors it by hand)."""
     return (
-        s["kind"].isNotNull()
-        | s["text"].isNotNull()
-        | s["media_ref"].isNotNull()
-        | s["offset"].isNotNull()
+        kind.isNotNull()
+        | text.isNotNull()
+        | media_ref.isNotNull()
+        | offset.isNotNull()
     )
+
+
+def _span_has_payload(s) -> F.Column:
+    return _payload_cols(s["kind"], s["text"], s["media_ref"], s["offset"])
 
 
 def _empty_span_docs(docs: DataFrame) -> DataFrame:
@@ -391,10 +407,8 @@ def _passthrough_spans(spans: DataFrame) -> DataFrame:
     dangling media_ref — so they pass through unmodified instead.
     Contentless placeholder rows (explode_outer's null/empty markers) are
     excluded; those docs are preserved by _empty_span_docs."""
-    payload = (
-        F.col("text").isNotNull()
-        | F.col("media_ref").isNotNull()
-        | F.col("offset").isNotNull()
+    payload = _payload_cols(
+        F.col("kind"), F.col("text"), F.col("media_ref"), F.col("offset")
     )
     return spans.filter(
         ((F.col("kind").isNull() & payload) | ~F.col("kind").isin("text", "media"))
@@ -1159,10 +1173,7 @@ def x_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass such spans through, never process them); drop only contentless
     # placeholders (explode_outer's null/empty markers)
     spans = explode_spans(docs).filter(
-        F.col("kind").isNotNull()
-        | F.col("text").isNotNull()
-        | F.col("media_ref").isNotNull()
-        | F.col("offset").isNotNull()
+        _payload_cols(F.col("kind"), F.col("text"), F.col("media_ref"), F.col("offset"))
     )
     shape = spans.agg(
         F.count(F.lit(1)).alias("n_spans"),

@@ -186,16 +186,24 @@ def run_extraction_job(
                 with_png = failed.join(
                     media.select("media_ref", "png"), "media_ref", "left"
                 )
-                errors = recognize_media(
+                rerun = recognize_media(
                     with_png.select("doc_id", "offset", "media_ref", "png"),
                     with_positions=False, on_error="quarantine",
-                ).filter(F.col("error").isNotNull()).select(
-                    "doc_id", "media_ref", "offset", "error"
-                )
+                ).select("doc_id", "media_ref", "error")
+                # every n_failed span gets a quarantine row even when the
+                # re-run does not reproduce the failure (a transient error
+                # caught by the blanket except) — the table and the metric
+                # must never disagree
                 (
-                    errors.join(
-                        failed.select("bucket", "doc_id").distinct(), "doc_id"
+                    failed.join(rerun, ["doc_id", "media_ref"], "left")
+                    .withColumn(
+                        "error",
+                        F.coalesce(
+                            F.col("error"),
+                            F.lit("unreproduced transient failure"),
+                        ),
                     )
+                    .select("bucket", "doc_id", "media_ref", "offset", "error")
                     .withColumn("run_id", F.lit(run_id))
                     .write.mode("append").parquet(quarantine_dir)
                 )
@@ -241,7 +249,12 @@ def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
             " error string, run_id string",
         )
     q = spark.read.parquet(qdir)
-    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    try:
+        lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    except Exception:
+        # quarantine written, killed before the FIRST lineage commit:
+        # no wave is committed, so no quarantine row is either
+        return q.limit(0)
     return q.join(lineage, ["bucket", "run_id"], "left_semi")
 
 
