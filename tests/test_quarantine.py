@@ -274,6 +274,19 @@ def test_contract_holds_on_adversarial_random_corpus(spark):
         assert got_t == want, doc_id
 
 
+def test_read_quarantine_survives_pre_lineage_kill(spark, tmp_path):
+    """Kill window: quarantine parquet written, process dies before the
+    FIRST lineage commit — read_quarantine must return an empty frame, not
+    crash on the missing lineage path."""
+    out = str(tmp_path / "killed")
+    spark.createDataFrame(
+        [(0, "d1", "m1", 0, "boom", "run_x")],
+        "bucket int, doc_id string, media_ref string, offset int,"
+        " error string, run_id string",
+    ).write.parquet(f"{out}/quarantine")
+    assert L.read_quarantine(spark, out).count() == 0
+
+
 def test_bad_on_error_value_rejected(spark, corrupted):
     docs, media, _, _ = corrupted
     with pytest.raises(ValueError, match="on_error"):
