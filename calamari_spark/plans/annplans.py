@@ -165,7 +165,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_udf = series_udf(_sig, "string")
 
-    sig = emb.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
+    # materialized once — the candidate generation references the bands
+    # lineage three times (stats window + both self-join sides) and Spark
+    # does not reuse the exchange across the subtrees, so without this the
+    # signature UDF runs three times (same pattern as the MinHash path)
+    sig = emb.select(
+        "vec_id", sig_udf(F.col("embedding")).alias("sig")
+    ).localCheckpoint()
     bands = sig.select(
         "vec_id",
         F.explode(

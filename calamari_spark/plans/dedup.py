@@ -92,6 +92,11 @@ cand AS (
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
+    """Word 3-gram shingles, one row per OCCURRENCE — deliberately no
+    distinct: the only consumer is the min-hash signature aggregation, and
+    min over a multiset equals min over its support, so deduplicating here
+    would buy nothing and cost a full shuffle of every shingle row (the
+    oracle's DISTINCT is likewise result-neutral)."""
     words = docs.select("doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w"))
     n = F.size("w") - 2
     return (
@@ -105,7 +110,6 @@ def _shingles(docs: DataFrame) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
 
 
@@ -132,7 +136,14 @@ def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
-    )
+    # materialize ONCE: the plan references the signature frame five times
+    # (band stats, both sides of the bucket self-join, both sides of the
+    # similarity join) and Spark does NOT reuse the exchange across those
+    # subtrees (verified: 0 ReusedExchange in the adaptive final plan), so
+    # without this the shingle+16-md5 pipeline — the expensive half —
+    # executes five times. The at-scale analog is writing the signature
+    # table before banding, which every production MinHash pipeline does.
+    ).localCheckpoint()
     n_bands = N_HASHES // BAND_ROWS
     bands = sig.select(
         "doc_id",
