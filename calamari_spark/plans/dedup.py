@@ -243,10 +243,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     This is the keeper-assignment step every training-data dedup pipeline
     needs after LSH emits pairs (the reference stops at pair level, so this
     is an LLM-pipeline extension, not reference parity)."""
+    # checkpoint BEFORE the symmetrize union: its two branches are separate
+    # subtrees, so without this the upstream pair pipeline executes twice
+    # even for the first materialization
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()  # else the upstream pair pipeline re-executes every round
+        .localCheckpoint()  # else the pair scan re-executes every round
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))

@@ -155,7 +155,10 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred",
         F.length("gt").alias("len"),
         F.levenshtein("gt", "pred").alias("err"),
-    )
+    # materialized: referenced by BOTH the global-total agg and the main
+    # select, and the levenshtein map is the expensive half — without this
+    # it executes twice (no ReusedExchange across the two subtrees)
+    ).localCheckpoint()
     total = per_line.agg(F.sum("err").alias("total_err"))
     return (
         per_line.crossJoin(F.broadcast(total))

@@ -381,6 +381,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .distinct()
+        # materialized: referenced by the DF count AND the semi-join input;
+        # the filtered set below is referenced four more times (both
+        # self-join sides, both size lookups) and Spark inserts no
+        # ReusedExchange across the subtrees — without the checkpoints the
+        # explode+distinct pipeline executes five times per query
+        .localCheckpoint()
     )
     rare = (
         raw_shingles.groupBy("sh")
@@ -388,7 +394,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_DF)
         .select("sh")
     )
-    shingles = raw_shingles.join(rare, "sh", "left_semi")
+    shingles = raw_shingles.join(rare, "sh", "left_semi").localCheckpoint()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
