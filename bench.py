@@ -12,6 +12,7 @@ Modes:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -73,6 +74,12 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
             _consume(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # release this rep's materialized (localCheckpoint'ed) blocks
+            # before the next query: pinned RDDs from earlier reps would
+            # otherwise stack up in the block manager and land GC/eviction
+            # pressure inside LATER queries' timed regions
+            del df
+            gc.collect()
         times[name] = round(best, 3)
     return times
 

@@ -165,13 +165,14 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_udf = series_udf(_sig, "string")
 
-    # materialized once — the candidate generation references the bands
-    # lineage three times (stats window + both self-join sides) and Spark
-    # does not reuse the exchange across the subtrees, so without this the
-    # signature UDF runs three times (same pattern as the MinHash path)
-    sig = emb.select(
-        "vec_id", sig_udf(F.col("embedding")).alias("sig")
-    ).localCheckpoint()
+    # the candidate generation references the bands lineage from several
+    # subtrees — without materialization the signature UDF runs once per
+    # subtree (same pattern as the MinHash path; see materialize)
+    from calamari_spark.plans.common import materialize
+
+    sig = materialize(
+        emb.select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
+    )
     bands = sig.select(
         "vec_id",
         F.explode(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from calamari_spark.plans.common import materialize
 from calamari_spark.plans.textplans import _REG_SQL, _regularized_col
 from calamari_spark.sources.tables import load_table
 
@@ -47,12 +48,16 @@ def banded_candidates(bands: DataFrame, id_col: str, out_a: str, out_b: str,
     Bucket stats come from one window over (band, key) — the same
     partitioning the self-join shuffles to anyway."""
     w = W.partitionBy("band", "key")
-    stats = bands.select(
-        F.col(id_col),
-        "band",
-        "key",
-        F.count(F.lit(1)).over(w).alias("bsize"),
-        F.min(id_col).over(w).alias("bmin"),
+    # materialized: referenced by the normal self-join (both sides) AND the
+    # star-pair branch — three window executions otherwise (see materialize)
+    stats = materialize(
+        bands.select(
+            F.col(id_col),
+            "band",
+            "key",
+            F.count(F.lit(1)).over(w).alias("bsize"),
+            F.min(id_col).over(w).alias("bmin"),
+        )
     )
     normal = stats.filter(F.col("bsize") <= cap).select(id_col, "band", "key")
     a, b = normal.alias("a"), normal.alias("b")
@@ -131,19 +136,17 @@ def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
     degenerate band buckets are star-reduced (banded_candidates)."""
     sh = _shingles(docs)
 
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    # materialize ONCE: the plan references the signature frame five times
-    # (band stats, both sides of the bucket self-join, both sides of the
-    # similarity join) and Spark does NOT reuse the exchange across those
-    # subtrees (verified: 0 ReusedExchange in the adaptive final plan), so
-    # without this the shingle+16-md5 pipeline — the expensive half —
-    # executes five times. The at-scale analog is writing the signature
-    # table before banding, which every production MinHash pipeline does.
-    ).localCheckpoint()
+    # referenced by the band bucketing AND both sides of the similarity
+    # join — without materialization the shingle+16-md5 pipeline (the
+    # expensive half) executes once per subtree (see materialize)
+    sig = materialize(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+    )
     n_bands = N_HASHES // BAND_ROWS
     bands = sig.select(
         "doc_id",
@@ -243,14 +246,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     This is the keeper-assignment step every training-data dedup pipeline
     needs after LSH emits pairs (the reference stops at pair level, so this
     is an LLM-pipeline extension, not reference parity)."""
-    # checkpoint BEFORE the symmetrize union: its two branches are separate
-    # subtrees, so without this the upstream pair pipeline executes twice
-    # even for the first materialization
-    pairs = pairs.localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()  # else the pair scan re-executes every round
+    # symmetrize in ONE subtree (explode of both directions), not a
+    # self-union whose two branches would each run the pair pipeline; the
+    # materialization also bounds lineage for the iteration below
+    edges = materialize(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))

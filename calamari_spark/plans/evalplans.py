@@ -149,16 +149,19 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred, 1), REL. ERR = errs/total_char_errs). The one-row global total
     broadcasts; everything else is a pure map."""
     docs = load_table(spark, "documents", sf_dir)
-    per_line = _gt_pred(docs).select(
-        "doc_id",
-        "gt",
-        "pred",
-        F.length("gt").alias("len"),
-        F.levenshtein("gt", "pred").alias("err"),
-    # materialized: referenced by BOTH the global-total agg and the main
-    # select, and the levenshtein map is the expensive half — without this
-    # it executes twice (no ReusedExchange across the two subtrees)
-    ).localCheckpoint()
+    from calamari_spark.plans.common import materialize
+
+    # referenced by BOTH the global-total agg and the main select, and the
+    # levenshtein map is the expensive half (see materialize)
+    per_line = materialize(
+        _gt_pred(docs).select(
+            "doc_id",
+            "gt",
+            "pred",
+            F.length("gt").alias("len"),
+            F.levenshtein("gt", "pred").alias("err"),
+        )
+    )
     total = per_line.agg(F.sum("err").alias("total_err"))
     return (
         per_line.crossJoin(F.broadcast(total))

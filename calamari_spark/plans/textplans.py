@@ -381,21 +381,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .distinct()
-        # materialized: referenced by the DF count AND the semi-join input;
-        # the filtered set below is referenced four more times (both
-        # self-join sides, both size lookups) and Spark inserts no
-        # ReusedExchange across the subtrees — without the checkpoints the
-        # explode+distinct pipeline executes five times per query
-        .localCheckpoint()
     )
+    from calamari_spark.plans.common import materialize
+
+    # raw set: referenced by the DF count AND the semi-join input; the
+    # filtered set: by both self-join sides and the size lookups; sizes: by
+    # both ends of the pair join — each materialized once (see materialize)
+    raw_shingles = materialize(raw_shingles)
     rare = (
         raw_shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_DF)
         .select("sh")
     )
-    shingles = raw_shingles.join(rare, "sh", "left_semi").localCheckpoint()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingles = materialize(raw_shingles.join(rare, "sh", "left_semi"))
+    sizes = materialize(
+        shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
