@@ -128,7 +128,7 @@ def main() -> None:
         from calamari_spark.plans.bench_scaling import run_scaling
 
         out = run_scaling()  # dedicated scaling corpus (sized for per-core work)
-        out["gate_load_before"] = load_before
+        out["load_before"] = load_before  # same key as the standard path
         print(json.dumps(out))
         return
 

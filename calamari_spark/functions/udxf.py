@@ -27,32 +27,51 @@ from calamari_spark.functions.text import (
 from calamari_spark.sources.tables import load_table
 
 
-def mean_len_udaf():
-    """Grouped-aggregate pandas UDAF: mean string length (double)."""
+def sum_len_udaf():
+    """Grouped-aggregate pandas UDAF: exact integer sum of string lengths.
+
+    The mean is computed OUTSIDE the UDAF as sum/count: a float mean inside
+    the UDAF is a shuffle-order-dependent float sum, and a round(...,6)
+    boundary can flip vs the oracle's sequential avg at scale (the same
+    cross-engine FP trap fixed in q_cer_histogram / x_avg_confidence) —
+    integer partial sums are associative-exact in any order."""
     from calamari_spark.functions.arrow import series_udf
 
-    def _mean_len(s):
-        return float(s.str.len().mean())
+    def _sum_len(s):
+        return int(s.str.len().sum())
 
-    return series_udf(_mean_len, "double", agg=True)
+    return series_udf(_sum_len, "long", agg=True)
 
 
 def q_udaf_mean_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mean clean-text length via a real pandas UDAF inside
     groupBy().agg() (Arrow transfer; partial aggregation happens Arrow-side
     per group — at scale the group count, not row count, bounds state)."""
+    from calamari_spark.functions.arrow import series_udf
+
     docs = load_table(spark, "documents", sf_dir)
     clean = docs.select("lang", _regularized_col(F.col("text")).alias("clean"))
-    agg = mean_len_udaf()
+    agg = sum_len_udaf()
+    # Spark disallows mixing a group-agg pandas UDF with built-in
+    # aggregates in one agg() — the count is a pandas UDAF too
+    n_udaf = series_udf(lambda s: len(s), "long", agg=True)
     return (
         clean.groupBy("lang")
-        .agg(F.round(agg(F.col("clean")), 6).alias("mean_len"))
+        .agg(
+            agg(F.col("clean")).alias("_len_sum"),
+            n_udaf(F.col("clean")).alias("_n"),
+        )
+        .select(
+            "lang",
+            F.round(F.col("_len_sum") / F.col("_n"), 6).alias("mean_len"),
+        )
         .orderBy("lang")
     )
 
 
 Q_UDAF_SQL = f"""
-SELECT lang, round(avg(CAST(length({_REG_SQL}) AS DOUBLE)), 6) AS mean_len
+SELECT lang,
+       round(CAST(sum(length({_REG_SQL})) AS DOUBLE) / count(*), 6) AS mean_len
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -121,7 +140,7 @@ def q_udxf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from calamari_spark.functions.arrow import series_udf
 
-    agg = mean_len_udaf()
+    agg = sum_len_udaf()
     # Spark disallows mixing a group-agg pandas UDF with built-in
     # aggregates in one agg() — the count is a pandas UDAF too
     n_udaf = series_udf(lambda s: len(s), "long", agg=True)
@@ -129,7 +148,14 @@ def q_udxf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sents.groupBy("lang")
         .agg(
             n_udaf(F.col("sentence")).alias("n_sentences"),
-            F.round(agg(F.col("sentence")), 6).alias("mean_sentence_len"),
+            agg(F.col("sentence")).alias("_len_sum"),
+        )
+        .select(
+            "lang",
+            "n_sentences",
+            F.round(F.col("_len_sum") / F.col("n_sentences"), 6).alias(
+                "mean_sentence_len"
+            ),
         )
         .orderBy("lang")
     )
@@ -138,7 +164,8 @@ def q_udxf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_UDXF_SQL = f"""
 SELECT lang,
        count(*) AS n_sentences,
-       round(avg(CAST(length(sentence) AS DOUBLE)), 6) AS mean_sentence_len
+       round(CAST(sum(length(sentence)) AS DOUBLE) / count(*), 6)
+         AS mean_sentence_len
 FROM (
   SELECT lang, unnest(string_split({_REG_SQL}, '. ')) AS sentence
   FROM documents

@@ -61,7 +61,15 @@ def _migrate(cfg: dict) -> dict:
         cfg.setdefault("text_postproc", ["quotes", "spaces"])
         cfg["version"] = 1
     if cfg["version"] == 1:
-        cfg["network_spec"] = cfg.pop("network")
+        network = cfg.pop("network", None)
+        if network is None:
+            # match the error contract of the version check below rather
+            # than surfacing a bare KeyError on a malformed v1 config
+            raise ValueError(
+                "cannot migrate checkpoint version 1 -> 2: "
+                "v1 config is missing the 'network' key"
+            )
+        cfg["network_spec"] = network
         cfg["version"] = 2
     if cfg["version"] != VERSION:
         raise ValueError(f"cannot migrate checkpoint version {v} -> {VERSION}")

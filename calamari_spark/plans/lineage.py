@@ -189,13 +189,17 @@ def run_extraction_job(
                 rerun = recognize_media(
                     with_png.select("doc_id", "offset", "media_ref", "png"),
                     with_positions=False, on_error="quarantine",
-                ).select("doc_id", "media_ref", "error")
+                ).select("doc_id", "media_ref", "offset", "error")
                 # every n_failed span gets a quarantine row even when the
                 # re-run does not reproduce the failure (a transient error
                 # caught by the blanket except) — the table and the metric
-                # must never disagree
+                # must never disagree. Join carries offset: a document that
+                # references the same media_ref at two offsets and fails at
+                # both would otherwise fan out 2x2 here while n_failed
+                # counts 2 (a null re-run offset simply falls through to the
+                # transient label — still exactly one row per failed span).
                 (
-                    failed.join(rerun, ["doc_id", "media_ref"], "left")
+                    failed.join(rerun, ["doc_id", "media_ref", "offset"], "left")
                     .withColumn(
                         "error",
                         F.coalesce(

@@ -4,9 +4,10 @@ The driver contract (`__spark_entry__.py`) exposes these; tests run both
 sides at sf0.001/sf0.01 and compare.
 
 The driver attests the FIRST 50 registry entries (insertion order), so the
-registry is curated to exactly <= 50 rows — every oracled query first, the
-single rows-only query (q_bidi_display, which genuinely has no DuckDB
-analog) last. Near-duplicate query shapes were merged so one driver row
+registry is curated to exactly <= 50 rows — all oracled (q_bidi_display,
+which has no DuckDB analog, carries a committed golden-fixture oracle like
+the other deterministic-by-construction queries).
+Near-duplicate query shapes were merged so one driver row
 attests each operator family (e.g. the BPE tokenizer rides in
 q_token_count, the beam decode in x_media_text); the standalone originals
 live on in SHADOW_QUERIES, which the oracle-parity pytest checks with the
@@ -62,11 +63,15 @@ def _register_all() -> None:
         if entry[1] is None:
             QUERIES[name] = entry
 
-    assert len(QUERIES) <= DRIVER_WINDOW, (
-        f"registry holds {len(QUERIES)} queries but the driver attests only "
-        f"the first {DRIVER_WINDOW} — merge or shadow the excess "
-        "(see SHADOW_QUERIES)"
-    )
+    if len(QUERIES) > DRIVER_WINDOW:
+        # a hard raise, not assert: under `python -O` an assert is stripped
+        # and an over-full registry would silently leave oracled queries
+        # outside the driver's attestation window
+        raise RuntimeError(
+            f"registry holds {len(QUERIES)} queries but the driver attests "
+            f"only the first {DRIVER_WINDOW} — merge or shadow the excess "
+            "(see SHADOW_QUERIES)"
+        )
 
     for group in (
         TEXT_SHADOW_QUERIES,

@@ -524,7 +524,8 @@ def q_bidi_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     python-bidi). RTL runs are synthesized deterministically: every word at
     an odd position is mapped to Hebrew codepoints, then the logical line is
     reordered for display with bidi_str. The UAX#9 run reversal is not
-    SQL-expressible: rows-only driver check."""
+    SQL-expressible, but the pipeline is deterministic by construction —
+    the oracle is the committed golden fixture (scripts/make_golden.py)."""
     from typing import Iterator
 
     import pandas as pd
@@ -602,10 +603,16 @@ FROM (
 """
 
 
+def _bidi_golden_oracle() -> str:
+    from calamari_spark.plans.golden import golden_oracle
+
+    return golden_oracle("q_bidi_display")
+
+
 TEXT_QUERIES = {
     "q_strip_regularize": (q_strip_regularize, Q_STRIP_SQL),
     "q_text_normalize": (q_text_normalize, Q_TEXT_NORMALIZE_SQL),
-    "q_bidi_display": (q_bidi_display, None),
+    "q_bidi_display": (q_bidi_display, _bidi_golden_oracle()),
     "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q_regularize_extended": (q_regularize_extended, _regularize_extended_sql()),
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),

@@ -91,6 +91,21 @@ def test_checkpoint_migration_v1_committed_fixture():
     assert ck.codec_charset[:2] == ["", " "]
 
 
+def test_checkpoint_malformed_v1_missing_network_raises_valueerror(tmp_path):
+    """A v1 config without the 'network' key must surface the chain's
+    'cannot migrate' ValueError, not a bare KeyError."""
+    import json
+
+    d = tmp_path / "bad_v1.ckpt"
+    d.mkdir()
+    (d / "ckpt.json").write_text(json.dumps({
+        "version": 1, "codec": {"charset": [""]},
+        "line_height": 48, "pad": 16, "text_postproc": [],
+    }))
+    with pytest.raises(ValueError, match="missing the 'network' key"):
+        load_checkpoint(str(d))
+
+
 def test_checkpoint_future_version_refuses(tmp_path):
     import json
 

@@ -297,3 +297,40 @@ def test_bad_on_error_value_rejected(spark, corrupted):
             spans.join(media.select("media_ref", "png"), "media_ref"),
             on_error="ignore",
         )
+
+
+def test_repeated_media_ref_failing_twice_quarantines_exactly_twice(spark, tmp_path):
+    """A document that references the SAME corrupt media_ref at two offsets
+    must produce exactly 2 quarantine rows (one per failed span), never 4 —
+    the rebuild join carries offset so the failed x re-run join cannot fan
+    out, and the table agrees with the n_failed metric."""
+    docs = spark.createDataFrame(
+        [(
+            "dup-doc",
+            [
+                ("text", "hello", None, 0),
+                ("media", None, "m-dup", 1),
+                ("text", "world", None, 2),
+                ("media", None, "m-dup", 3),
+            ],
+        )],
+        f"doc_id string, spans {X.SPANS_TYPE}",
+    )
+    media = spark.createDataFrame(
+        [("m-dup", bytearray(b"not a png at all"))], "media_ref string, png binary"
+    )
+    out = str(tmp_path / "dupjob")
+    r = L.run_extraction_job(
+        spark, docs, media, out, n_buckets=2, buckets_per_wave=2,
+        on_error="quarantine",
+    )
+    assert r["status"] == "complete"
+    n_failed = sum(x["n_failed"] for x in L.read_metrics(spark, out).collect())
+    assert n_failed == 2
+    q = L.read_quarantine(spark, out).collect()
+    assert len(q) == 2  # was 4 before the offset-keyed join
+    assert sorted((x["doc_id"], x["media_ref"], x["offset"]) for x in q) == [
+        ("dup-doc", "m-dup", 1),
+        ("dup-doc", "m-dup", 3),
+    ]
+    assert all("not a PNG" in x["error"] for x in q)
