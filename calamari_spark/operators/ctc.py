@@ -246,25 +246,62 @@ class WordLM:
     def __init__(self, corpus: str, chars: str, word_chars: str, add_k: float = 1.0):
         import re as _re
 
-        self.chars = chars
-        self.word_chars = word_chars
         word_re = "[" + _re.escape(word_chars) + "]+"
         words = _re.findall(word_re, corpus)
-        self.n_words = len(words)
-        uniq = sorted(set(words))
+        uni: Dict[str, float] = {}
+        for w in words:
+            uni[w] = uni.get(w, 0.0) + 1.0
+        big: Dict[Tuple[str, str], float] = {}
+        for w1, w2 in zip(words, words[1:]):
+            big[(w1, w2)] = big.get((w1, w2), 0.0) + 1.0
+        self._build(uni, big, chars, word_chars, add_k)
+
+    @classmethod
+    def from_counts(
+        cls,
+        unigram_counts: Dict[str, float],
+        chars: str,
+        word_chars: str,
+        bigram_counts: Optional[Dict[Tuple[str, str], float]] = None,
+        add_k: float = 1.0,
+    ) -> "WordLM":
+        """Build the LM directly from (word -> count) tables — the scale
+        path. A real vocabulary ships as aggregated counts (vocab.json model
+        constant); expanding counts into a repeated-word corpus string just
+        so ``__init__`` can re-tokenize and re-count it is O(total_count)
+        memory per executor and quantizes the distribution if capped. This
+        constructor is count-exact and O(|vocab|). The corpus-string
+        ``__init__`` remains for reference-fixture parity (it now feeds the
+        same builder with counts it tallies itself)."""
+        lm = cls.__new__(cls)
+        lm._build(dict(unigram_counts), dict(bigram_counts or {}), chars, word_chars, add_k)
+        return lm
+
+    def _build(
+        self,
+        unigram_counts: Dict[str, float],
+        bigram_counts: Dict[Tuple[str, str], float],
+        chars: str,
+        word_chars: str,
+        add_k: float,
+    ) -> None:
+        self.chars = chars
+        self.word_chars = word_chars
+        self.n_words = int(sum(unigram_counts.values()))
+        uniq = sorted(unigram_counts)
         self.n_unique = len(uniq)
         self.add_k = add_k
 
         self.unigrams: Dict[str, float] = defaultdict(float)
-        for w in words:
-            self.unigrams[w.lower()] += 1.0 / self.n_words
+        for w, n in unigram_counts.items():
+            self.unigrams[w.lower()] += n / self.n_words
 
         counts: Dict[str, Dict[str, float]] = {}
-        for w1, w2 in zip(words, words[1:]):
+        for (w1, w2), n in sorted(bigram_counts.items()):
             d = counts.setdefault(w1.lower(), {})
             # first sighting seeds the +k smoothing mass (reference quirk:
             # LanguageModel.py:40-41 adds k once, then 1 per occurrence)
-            d[w2.lower()] = d.get(w2.lower(), self.add_k) + 1.0
+            d[w2.lower()] = d.get(w2.lower(), self.add_k) + n
         self.bigrams: Dict[str, Dict[str, float]] = {}
         for w1, d in counts.items():
             total = self.n_unique * self.add_k + sum(d.values())

@@ -851,7 +851,24 @@ def x_media_text_wbs_oracle(sf_dir: str) -> str:
     )
 
 
-def x_media_text_tokenpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenpass_dictionary(counts, dictionary_topk=None):
+    """Decode dictionary for token passing, optionally bounded to the
+    ``dictionary_topk`` most frequent vocabulary words (count desc, word
+    asc tiebreak — deterministic). Token passing is O(words x states x
+    frames) PER LINE; at a 100k-word dictionary the full DP is the slowest
+    per-line operator in the engine by orders of magnitude, so the at-scale
+    mode bounds the dictionary from the same vocab.json counts the word LM
+    uses. ``None`` (or k >= |vocab|) keeps the exact full-vocabulary
+    behavior of the reference (token_passing_ctc_decoder.py:182-192)."""
+    if dictionary_topk is None or dictionary_topk >= len(counts):
+        return sorted(counts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:dictionary_topk]
+    return sorted(w for w, _ in top)
+
+
+def x_media_text_tokenpass(
+    spark: SparkSession, sf_dir: str, dictionary_topk: int = None
+) -> DataFrame:
     """Graves token passing as a distributed stage (reference:
     token_passing_ctc_decoder.py:92-179): the FULL line is decoded from the
     REAL template softmax through the word-level DP over the corpus
@@ -859,10 +876,12 @@ def x_media_text_tokenpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing is O(words x states x frames), so dictionaries stay small by
     design — the reference ships it with the same caveat). The DP models
     no separator, so recovering the exact word sequence from real optics
-    IS the attestation. Oracle: the full ground truth."""
+    IS the attestation. Oracle: the full ground truth. ``dictionary_topk``
+    selects the at-scale bounded-dictionary mode (tokenpass_dictionary);
+    the default decodes the full vocabulary, fixture-exact."""
     docs, media = load_interleaved(spark, sf_dir)
     lines = media.select("media_ref", "png")
-    vocab = sorted(load_vocab(sf_dir))
+    vocab = tokenpass_dictionary(load_vocab(sf_dir), dictionary_topk)
 
     schema = "media_ref string, sentence string"
     n_part = spark.sparkContext.defaultParallelism * 2
@@ -912,13 +931,17 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = media.select("media_ref", "png")
 
     counts = load_vocab(sf_dir)
-    vocab = sorted(counts.items())
-    lm_corpus = " ".join(w for w, n in vocab for _ in range(min(n, 50)))
+    # (word -> count) model constant, fed straight to the count-aware LM
+    # constructor: no repeated-word corpus string is ever materialized (at a
+    # 10^7-word vocabulary that expansion is multi-GB per executor and its
+    # per-word cap quantizes the unigram distribution)
+    vocab_counts = dict(sorted(counts.items()))
 
     schema = "media_ref string, first_word string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import json as _json
 
         from calamari_spark.operators.ctc import WordLM, word_beam_decode
         from calamari_spark.sources.pngio import decode_png
@@ -927,11 +950,14 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = recs[0]
         charset = "".join(codec.charset[1:])  # labels 1..N; blank excluded
         word_chars = "".join(c for c in charset if c != " ")
-        # key on the corpus CONTENT: same-size vocabularies from different
-        # corpora must not reuse a stale cached LM
-        key = "wordlm:" + _hl.sha256(f"{charset}|{lm_corpus}".encode()).hexdigest()
+        # key on the count-table CONTENT: same-size vocabularies from
+        # different corpora must not reuse a stale cached LM
+        digest = _hl.sha256(
+            f"{charset}|{_json.dumps(vocab_counts, sort_keys=True)}".encode()
+        ).hexdigest()
+        key = "wordlm:" + digest
         if key not in _WORKER_STATE:
-            _WORKER_STATE[key] = WordLM(lm_corpus, charset, word_chars)
+            _WORKER_STATE[key] = WordLM.from_counts(vocab_counts, charset, word_chars)
         lm = _WORKER_STATE[key]
         for b in batches:
             rows = []

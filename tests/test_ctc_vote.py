@@ -198,3 +198,63 @@ def test_out_to_in_chain_and_extents():
     assert p1.global_start == 32 and p1.global_end == 40
     # neighbor midpoint: start_ext of p1 == (32+16)//2 == end_ext of p0
     assert p1.global_start_ext == 24 and p0.global_end_ext == 24
+
+
+def test_tokenpass_dictionary_topk_selection():
+    from calamari_spark.plans.extraction import tokenpass_dictionary
+
+    counts = {"cat": 5, "dog": 9, "ant": 5, "bee": 1}
+    # None and k >= |vocab| keep the exact full-vocabulary behavior
+    assert tokenpass_dictionary(counts) == ["ant", "bee", "cat", "dog"]
+    assert tokenpass_dictionary(counts, 4) == ["ant", "bee", "cat", "dog"]
+    assert tokenpass_dictionary(counts, 99) == ["ant", "bee", "cat", "dog"]
+    # top-k by count desc, lexicographic tiebreak (ant before cat at n=5)
+    assert tokenpass_dictionary(counts, 2) == ["ant", "dog"]
+    assert tokenpass_dictionary(counts, 3) == ["ant", "cat", "dog"]
+
+
+def test_tokenpass_bounded_dictionary_identical_decode_and_bounded_cost():
+    """The at-scale mode: decoding against the top-k dictionary returns the
+    identical sentence when the true words are frequent, and the DP cost is
+    bounded by k, not |vocab| (Graves DP is O(words x states x frames))."""
+    import time
+
+    from calamari_spark.plans.extraction import tokenpass_dictionary
+
+    rng = np.random.default_rng(7)
+    charset = list("abcdefgh")
+    # a clean two-word line: "fad" then "dab" (no separator in the DP)
+    def frames_for(word, reps=2):
+        rows = []
+        for ch in word:
+            for _ in range(reps):
+                row = np.full(len(charset) + 1, 0.01)
+                row[charset.index(ch)] = 0.9
+                rows.append(row)
+            blank = np.full(len(charset) + 1, 0.01)
+            blank[-1] = 0.9
+            rows.append(blank)
+        return rows
+
+    mat = np.array(frames_for("fad") + frames_for("dab"))
+    mat /= mat.sum(axis=1, keepdims=True)
+
+    counts = {"fad": 50, "dab": 40}
+    filler = ["".join(rng.choice(charset, size=4)) for _ in range(400)]
+    counts.update({w: 1 for w in filler if w not in counts})
+
+    full = tokenpass_dictionary(counts)
+    topk = tokenpass_dictionary(counts, 8)
+    assert len(topk) == 8 and {"fad", "dab"} <= set(topk)
+
+    t0 = time.perf_counter()
+    out_full = token_passing_decode(mat, charset, full, blank=-1)
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_topk = token_passing_decode(mat, charset, topk, blank=-1)
+    t_topk = time.perf_counter() - t0
+
+    assert out_full == out_topk == "fad dab"
+    # ~50x fewer dictionary words must be at least a few times faster even
+    # on a noisy box (generous margin; the work ratio is linear in |dict|)
+    assert t_topk * 3 < t_full

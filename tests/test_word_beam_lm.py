@@ -88,3 +88,31 @@ def test_word_to_word_transition_fixture():
     assert word_beam_decode(
         mat, chars, lm, use_ngrams=True, allow_word_to_word=True, **args
     ) == "ab ba"
+
+
+def test_from_counts_matches_corpus_built_lm():
+    """The count-aware constructor (the scale path: vocab.json -> LM with no
+    repeated-word corpus string) must agree with the corpus-tokenizing
+    constructor on every probability surface."""
+    corpus = "the cat sat on the mat , the cat ran"
+    chars = "abcdefghijklmnopqrstuvwxyz ,"
+    word_chars = "abcdefghijklmnopqrstuvwxyz"
+    a = WordLM(corpus, chars, word_chars)
+
+    words = [w for w in corpus.split(" ") if all(c in word_chars for c in w) and w]
+    uni, big = {}, {}
+    for w in words:
+        uni[w] = uni.get(w, 0) + 1
+    for w1, w2 in zip(words, words[1:]):
+        big[(w1, w2)] = big.get((w1, w2), 0) + 1
+    b = WordLM.from_counts(uni, chars, word_chars, bigram_counts=big)
+
+    assert a._vocab == b._vocab
+    assert a.n_words == b.n_words and a.n_unique == b.n_unique
+    for w in uni:
+        assert abs(a.unigram(w) - b.unigram(w)) < 1e-12
+    for w1 in uni:
+        for w2 in uni:
+            assert abs(a.bigram(w1, w2) - b.bigram(w1, w2)) < 1e-12
+    assert a.next_chars("th") == b.next_chars("th")
+    assert a.next_words("c") == b.next_words("c")
