@@ -291,6 +291,54 @@ GROUP BY doc_id ORDER BY doc_id
 
 MISSING_PRED_MOD = 7  # docs with doc_id % 7 == 0 have no prediction
 
+EVAL_MODES = ("skip", "empty", "error")
+
+
+def _eval_totals(joined: DataFrame, mode: str) -> DataFrame:
+    per_line = joined.select(
+        F.length("gt").alias("chars"),
+        F.levenshtein("gt", "pred").alias("errs"),
+    )
+    return per_line.agg(
+        F.count(F.lit(1)).alias("total_instances"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("errs").alias("total_char_errs"),
+        F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
+    ).select(F.lit(mode).alias("mode"), "*")
+
+
+def evaluate_predictions(gt: DataFrame, pred: DataFrame, mode: str = "skip") -> DataFrame:
+    """Evaluator join + totals with ALL THREE of the reference's
+    non_existing_pred_handling modes (evaluator.py:219-237):
+
+    * ``skip``  — drop gt lines with no prediction (inner join);
+    * ``empty`` — score them against '' (left join + coalesce, errs =
+      full line length);
+    * ``error`` — refuse to produce a number: raise naming how many gt
+      lines lack a prediction (reference asserts the counts match and
+      dies loudly; the distributed analog is a left-anti count — one
+      cheap job before the scoring plan).
+
+    ``gt`` carries (doc_id, gt); ``pred`` carries (doc_id, pred)."""
+    if mode not in EVAL_MODES:
+        raise ValueError(f"mode must be one of {EVAL_MODES}, got {mode!r}")
+    if mode == "error":
+        n_missing = gt.join(pred, "doc_id", "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                f"{n_missing} ground-truth lines have no prediction "
+                "(non_existing_pred_handling=error; reference "
+                "evaluator.py:219-227)"
+            )
+        joined = gt.join(pred, "doc_id")
+    elif mode == "skip":
+        joined = gt.join(pred, "doc_id")  # id-equi-join, evaluator.py:239-249
+    else:
+        joined = gt.join(pred, "doc_id", "left").withColumn(
+            "pred", F.coalesce("pred", F.lit(""))
+        )
+    return _eval_totals(joined, mode)
+
 
 def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evaluator join+aggregate (reference: evaluator.py:205-261 +
@@ -301,8 +349,9 @@ def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (evaluator.py:219-237): predictions are MISSING for doc_id % 7 == 0,
     and the query emits one totals row per handling mode — 'skip' drops
     the gt line (inner join), 'empty' scores it against '' (left join +
-    coalesce, errs = full line length). The 'error' mode is the inner
-    join plus a loud count assertion at the call site, not a plan shape."""
+    coalesce, errs = full line length). The loud 'error' mode also exists
+    (evaluate_predictions(mode='error') raises on missing preds) but a
+    raise cannot be a driver board row — tested in test_text_ops."""
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
     gt = docs.select("doc_id", clean.alias("gt"))
@@ -311,23 +360,11 @@ def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.replace(clean, F.lit("a"), F.lit("")), F.lit("o"), F.lit("0")).alias("pred"),
     )
 
-    def totals(joined: DataFrame, mode: str) -> DataFrame:
-        per_line = joined.select(
-            F.length("gt").alias("chars"),
-            F.levenshtein("gt", "pred").alias("errs"),
-        )
-        return per_line.agg(
-            F.count(F.lit(1)).alias("total_instances"),
-            F.sum("chars").alias("total_chars"),
-            F.sum("errs").alias("total_char_errs"),
-            F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
-        ).select(F.lit(mode).alias("mode"), "*")
-
-    skip = gt.join(pred, "doc_id")  # id-equi-join, evaluator.py:239-249
-    empty = gt.join(pred, "doc_id", "left").withColumn(
-        "pred", F.coalesce("pred", F.lit(""))
+    return (
+        evaluate_predictions(gt, pred, "skip")
+        .unionByName(evaluate_predictions(gt, pred, "empty"))
+        .orderBy("mode")
     )
-    return totals(skip, "skip").unionByName(totals(empty, "empty")).orderBy("mode")
 
 
 Q_CER_SQL = f"""

@@ -40,6 +40,15 @@ def main(argv=None) -> None:
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--buckets-per-wave", type=int, default=4)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--materialize-backend",
+                   choices=["local", "reliable", "parquet"], default=None,
+                   help="how multiply-referenced intermediates are "
+                        "materialized: local (localCheckpoint; single-JVM "
+                        "default), reliable (fault-tolerant checkpoint()), "
+                        "or parquet (write-before-reuse to durable "
+                        "storage) — set 'reliable' or 'parquet' plus "
+                        "CALAMARI_SPARK_DURABLE_DIR on shared storage for "
+                        "clusters with executor decommissioning")
     p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
                    help="per-record failure policy: fail the job (strict) or "
                         "quarantine the record (NULL span text + n_failed "
@@ -53,6 +62,13 @@ def main(argv=None) -> None:
         p.error("--docs-table and --media-table must be given together")
     if args.docs_table is not None and not (args.docs_table and args.media_table):
         p.error("--docs-table/--media-table must be non-empty table names")
+
+    if args.materialize_backend:
+        import os
+
+        from calamari_spark.plans.common import BACKEND_ENV
+
+        os.environ[BACKEND_ENV] = args.materialize_backend
 
     from pyspark.sql import SparkSession
 

@@ -91,3 +91,34 @@ def test_regularize_column_matches_python(spark):
     ]
     expected = [regularize_str(s, rulesets=["quotes", "spaces"]) for s in samples]
     assert out == expected
+
+
+def test_evaluator_error_mode_raises_on_missing_pred(spark):
+    """Reference evaluator.py:219-227: non_existing_pred_handling='error'
+    dies loudly when a gt line has no prediction; with complete predictions
+    it scores identically to 'skip'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from calamari_spark.plans.textplans import evaluate_predictions
+
+    gt = spark.createDataFrame(
+        [(1, "abc"), (2, "def"), (3, "ghi")], "doc_id long, gt string"
+    )
+    pred_missing = spark.createDataFrame(
+        [(1, "abc"), (3, "gxi")], "doc_id long, pred string"
+    )
+    with pytest.raises(ValueError, match="1 ground-truth lines have no prediction"):
+        evaluate_predictions(gt, pred_missing, "error")
+
+    pred_full = spark.createDataFrame(
+        [(1, "abc"), (2, "def"), (3, "gxi")], "doc_id long, pred string"
+    )
+    err = evaluate_predictions(gt, pred_full, "error").collect()[0]
+    skip = evaluate_predictions(gt, pred_full, "skip").collect()[0]
+    assert err["mode"] == "error" and skip["mode"] == "skip"
+    assert err[1:] == skip[1:]
+    assert err["total_instances"] == 3 and err["total_char_errs"] == 1
+
+    with pytest.raises(ValueError, match="mode"):
+        evaluate_predictions(gt, pred_full, "loud")
