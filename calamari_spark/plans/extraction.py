@@ -54,7 +54,7 @@ CACHE_ROOT = os.path.join(REPO_ROOT, ".data", "interleaved")
 # 0.01 correctness gate), generated-on-demand cache for bench SFs; the
 # dedicated "scaling" corpus is sized so per-core OCR work dominates fixed
 # session overheads in the strong-scaling measurement
-N_DOCS = {"0.001": 24, "0.01": 96, "0.1": 768, "scaling": 6144}
+N_DOCS = {"0.001": 24, "0.01": 96, "0.1": 768, "0.5": 3840, "scaling": 6144}
 COMMITTED_SFS = ("0.001", "0.01")
 
 TEXT_RULESETS = ["quotes", "spaces"]  # the boilerplate-strip chain
@@ -594,6 +594,29 @@ def x_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction flattened to (doc_id, seq) for value-hash
     comparison against the gt-reconstruction oracle."""
     out = flagship_extraction(spark, sf_dir)
+    return out.select("doc_id", _seq_col().alias("seq")).orderBy("doc_id")
+
+
+def x_extract_docs_quarantine(
+    spark: SparkSession, sf_dir: str, corrupt_per_mille: int = 1
+) -> DataFrame:
+    """Fault-path bench variant of the flagship extraction: a deterministic
+    ``corrupt_per_mille``/1000 fraction of media blobs is replaced with
+    garbage bytes and the pipeline runs with on_error="quarantine" — the
+    production setting for a 10^12-doc corpus, where corrupt blobs are a
+    certainty. Timing this against the clean x_extract_docs quantifies the
+    per-record error-capture overhead (BENCH "quarantine" section). Not a
+    registry row: its output differs from the oracle by exactly the
+    quarantined spans."""
+    docs, media = load_interleaved(spark, sf_dir)
+    media_bad = media.withColumn(
+        "png",
+        F.when(
+            F.pmod(F.xxhash64("media_ref"), F.lit(1000)) < corrupt_per_mille,
+            F.lit(bytearray(b"corrupt blob (bench injection)")),
+        ).otherwise(F.col("png")),
+    )
+    out = extract_documents(docs, media_bad, on_error="quarantine")
     return out.select("doc_id", _seq_col().alias("seq")).orderBy("doc_id")
 
 
