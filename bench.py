@@ -80,6 +80,15 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
             # pressure inside LATER queries' timed regions
             del df
             gc.collect()
+        # and pay the JVM collection OUTSIDE the next timed region: the
+        # Python gc only drops the py4j refs; the heap pages of the freed
+        # blocks are otherwise reclaimed by a GC pause that lands inside
+        # whichever later query happens to allocate first (measured: up to
+        # 3x inflation on individual rows late in a long suite)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         times[name] = round(best, 3)
     return times
 
@@ -92,7 +101,7 @@ def _load1() -> float | None:
         return None
 
 
-def _idle_gate(max_wait_s: int = 180, load_limit: float = 2.0) -> float | None:
+def _idle_gate(max_wait_s: int = 300, load_limit: float = 1.2) -> float | None:
     """Wait (bounded) for residual box load to drain before timing; returns
     the loadavg the timed region actually starts under (recorded in the
     output JSON so a contaminated run is distinguishable from a clean one).
@@ -230,8 +239,8 @@ def datascale_child(scaled: str, base_dir: str) -> None:
     spark = get_spark("bench_datascale", cores=CPUS)
     docs5, media5 = load_interleaved(spark, scaled)
     n_docs5, n_lines5 = docs5.count(), media5.count()
-    base5 = run_queries(spark, DATASCALE_QUERIES, base_dir, reps=2)
-    times5 = run_queries(spark, DATASCALE_QUERIES, scaled, reps=2)
+    base5 = run_queries(spark, DATASCALE_QUERIES, base_dir, reps=3)
+    times5 = run_queries(spark, DATASCALE_QUERIES, scaled, reps=3)
     t_x5 = times5.get("x_extract_docs")
     print(
         json.dumps(

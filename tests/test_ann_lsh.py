@@ -39,3 +39,19 @@ def test_lsh_pairs_are_a_subset_of_brute_force_with_equal_scores(spark):
     # recall: the banded scheme finds a meaningful fraction (not ~0)
     recall = len(lsh) / len(truth)
     assert recall >= 0.1, f"recall {recall:.2f} of {len(truth)} true pairs"
+
+
+def test_neardup_bits_scales_with_corpus():
+    """Band width ~log2(n): attestation SFs resolve to the oracle's fixed
+    8 bits; larger corpora widen so expected bucket occupancy stays O(1)
+    (the property that keeps banded candidate generation linear)."""
+    from calamari_spark.plans.annplans import neardup_bits
+
+    assert neardup_bits(500) == 8       # sf0.001 / sf0.01 (oracle scheme)
+    assert neardup_bits(1) == 8
+    assert neardup_bits(2000) == 9      # sf0.1
+    assert neardup_bits(10_000) == 12   # the 5x datascale corpus
+    assert neardup_bits(1_000_000) == 18
+    # occupancy n / 2^bits stays bounded (~4) as n grows
+    for n in (10_000, 10**6, 10**9):
+        assert n / 2 ** neardup_bits(n) <= 4.01
