@@ -209,8 +209,16 @@ def _write_baseline_section(result: Dict) -> None:
         return
     with open(path) as f:
         text = f.read()
+    trailing = ""
     if MARKER in text:
-        text = text[: text.index(MARKER)].rstrip() + "\n"
+        # replace ONLY this script's section: everything from the marker to
+        # the next top-level heading is ours; later sections (e.g. the
+        # round-N evidence notes) must survive the rewrite
+        start = text.index(MARKER)
+        nxt = text.find("\n## ", start + len(MARKER))
+        if nxt != -1:
+            trailing = text[nxt + 1:]
+        text = text[:start].rstrip() + "\n"
     lo_key, hi_key = sorted(result["levels"], key=lambda k: result["levels"][k]["cores"])
     lo, hi = result["levels"][lo_key], result["levels"][hi_key]
 
@@ -273,13 +281,15 @@ how the measurement controls for them:
    every local "executor" sharing ONE memory bus. On a real cluster 4N
    executors bring 4N memory controllers. The primary pair is therefore
    local[2] -> local[8], where both levels sit below the saturation knee;
-   local[4] -> local[16] is run as the secondary pair and lands ~0.70-0.75,
-   consistent with the measured per-core DRAM degradation, not with any
-   serialization in the job (the pure-compute probe — independent OCR
-   worker processes, no Spark — scales 8 -> 32 procs at ~0.98).
+   local[4] -> local[16] is run as the secondary pair and has measured
+   0.665 (r3) to 0.927 (r4) across rounds — the spread tracks box DRAM/
+   clock state, and the knee itself is real (the pure-compute probe —
+   independent OCR worker processes, no Spark — scales 8 -> 32 procs at
+   ~0.98 while per-core Spark throughput degrades above ~12 workers), but
+   its magnitude on a given day is not a property of the job.
 """
     with open(path, "w") as f:
-        f.write(text + section)
+        f.write(text + section + ("\n" + trailing if trailing else ""))
 
 
 if __name__ == "__main__":
