@@ -42,7 +42,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    from calamari_spark.plans.common import fan_out
+
+    # fan_out: the broadcast join inherits the scan's partitioning, so the
+    # HOF dot products would otherwise all run on the single-file scan's
+    # one partition
+    cand = fan_out(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
     scored = (
         cand.join(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -176,7 +183,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     # corpus-scaled band width (neardup_bits): one parquet-metadata count
-    # up front buys linear candidate generation at every SF
+    # up front buys linear candidate generation at every SF.
+    # (No fan_out here, deliberately: the signature is ONE vectorized int64
+    # matmul per Arrow batch — spreading it across tiny partitions paid
+    # more in Python-worker spin-up than the kernel costs; A/B'd 1.3s ->
+    # 2.5s at sf0.1. The expensive half of this query is the banded join,
+    # which the shuffle parallelizes on its own.)
     bits = neardup_bits(emb.count())
     Ht = _hyperplanes(bits).T  # (EMB_DIM, bands*bits)
 
@@ -301,9 +313,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids. The centroids are a tiny model constant (at 100 TB they come
     from a k-means fit), so they enter the plan as a LITERAL array and the
     assignment is a pure per-row map — cosines against all cells as an array
-    column, argmax via array_max over (cos, -cent_id) structs. Zero joins,
-    zero windows, zero shuffles until the final per-query top-k (the round-1
-    variant shuffled an 8x-exploded corpus through a per-vector window).
+    column, argmax via array_max over (cos, -cent_id) structs. Zero joins
+    and zero windows in the build; the only shuffles are the fan_out spread
+    of the raw corpus rows ahead of the assignment kernel and the final
+    per-query top-k (the round-1 variant shuffled an 8x-exploded corpus
+    through a per-vector window).
     Search: each query probes its ``IVF_NPROBE`` nearest cells and ranks
     only those candidates. Recall < 1 by construction — the brute-force
     twin above is the exactness baseline."""
@@ -341,8 +355,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["cent_id"].alias("cent_id"),
         ),
     )
+    from calamari_spark.plans.common import fan_out
+
+    # fan_out: the cell-assignment cosines are the expensive per-row map
+    # (IVF_CELLS HOF dot products per vector) and the scan is single-file.
+    # This trades the "zero shuffles until top-k" property for parallelism
+    # of the kernel — at 100 TB the input arrives in thousands of files and
+    # the repartition collapses to a no-op-cost spread of raw rows.
     assign = (
-        emb.withColumn("e_norm", _norm(F.col("embedding")))
+        fan_out(emb, "vec_id")
+        .withColumn("e_norm", _norm(F.col("embedding")))
         .withColumn("cent_id", F.array_min(scored_cells)["cent_id"])
         .select("vec_id", "embedding", "cent_id")
     )

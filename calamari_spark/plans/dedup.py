@@ -102,7 +102,14 @@ def _shingles(docs: DataFrame) -> DataFrame:
     min over a multiset equals min over its support, so deduplicating here
     would buy nothing and cost a full shuffle of every shingle row (the
     oracle's DISTINCT is likewise result-neutral)."""
-    words = docs.select("doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w"))
+    from calamari_spark.plans.common import fan_out
+
+    # pin the regularize+shingle map's parallelism (see fan_out: a
+    # single-file scan otherwise runs the whole kernel on one core); every
+    # downstream stage (minhash agg, jaccard join) inherits the spread
+    words = fan_out(docs, "doc_id").select(
+        "doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w")
+    )
     n = F.size("w") - 2
     return (
         words.filter(n > 0)
@@ -345,6 +352,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SHADOW_QUERIES), joined back from the doc scan as a pure map —
     broadcast-free because both sides are keyed by doc_id pre-shuffle."""
     docs = load_table(spark, "documents", sf_dir)
+    # (no fan_out: the md5/h16 parse runs AFTER the distinct's shuffle, so
+    # it is already parallel; spreading the cheap regularize+explode costs
+    # an extra exchange for nothing — A/B'd slower at sf0.1)
     words = docs.select(
         "doc_id",
         F.explode(F.split(_regularized_col(F.col("text")), " ")).alias("word"),

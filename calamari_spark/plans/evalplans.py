@@ -149,12 +149,13 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred, 1), REL. ERR = errs/total_char_errs). The one-row global total
     broadcasts; everything else is a pure map."""
     docs = load_table(spark, "documents", sf_dir)
-    from calamari_spark.plans.common import materialize
+    from calamari_spark.plans.common import fan_out, materialize
 
     # referenced by BOTH the global-total agg and the main select, and the
-    # levenshtein map is the expensive half (see materialize)
+    # levenshtein map is the expensive half (see materialize); fan_out pins
+    # the kernel's parallelism (single-file scan = one partition otherwise)
     per_line = materialize(
-        _gt_pred(docs).select(
+        fan_out(_gt_pred(docs), "doc_id").select(
             "doc_id",
             "gt",
             "pred",
@@ -240,7 +241,11 @@ def q_cer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and can flip a round(...,6) boundary vs DuckDB's sequential
     sum (the repo's cross-engine FP rule); integer sums are order-exact."""
     docs = load_table(spark, "documents", sf_dir)
-    per_line = _gt_pred(docs).select(
+    from calamari_spark.plans.common import fan_out
+
+    # pin the levenshtein map's parallelism (see fan_out: a single-file
+    # scan otherwise runs the whole kernel on one core)
+    per_line = fan_out(_gt_pred(docs), "doc_id").select(
         F.length("gt").alias("chars"),
         F.levenshtein("gt", "pred").alias("errs"),
     )

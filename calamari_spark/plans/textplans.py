@@ -337,7 +337,10 @@ def evaluate_predictions(gt: DataFrame, pred: DataFrame, mode: str = "skip") -> 
         joined = gt.join(pred, "doc_id", "left").withColumn(
             "pred", F.coalesce("pred", F.lit(""))
         )
-    return _eval_totals(joined, mode)
+    from calamari_spark.plans.common import fan_out
+
+    # the edit distance is the expensive kernel; pin its parallelism
+    return _eval_totals(fan_out(joined, "doc_id"), mode)
 
 
 def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,9 +363,33 @@ def q_cer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.replace(clean, F.lit("a"), F.lit("")), F.lit("o"), F.lit("0")).alias("pred"),
     )
 
+    # ONE levenshtein pass serves both modes: on rows where a prediction
+    # exists, levenshtein(gt, pred) == levenshtein(gt, coalesce(pred, '')),
+    # and the skip-mode totals are just the has_pred subset of the
+    # empty-mode per-line map. The map is materialized once (see
+    # materialize) — the edit distance is the dominant cost of this row.
+    # evaluate_predictions() remains the general mode-by-mode API.
+    from calamari_spark.plans.common import fan_out, materialize
+
+    per_line = materialize(
+        fan_out(gt.join(pred, "doc_id", "left"), "doc_id").select(
+            F.length("gt").alias("chars"),
+            F.col("pred").isNotNull().alias("has_pred"),
+            F.levenshtein("gt", F.coalesce("pred", F.lit(""))).alias("errs"),
+        )
+    )
+
+    def totals(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("total_instances"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("errs").alias("total_char_errs"),
+            F.round(F.sum("errs") / F.sum("chars"), 6).alias("avg_ler"),
+        ).select(F.lit(mode).alias("mode"), "*")
+
     return (
-        evaluate_predictions(gt, pred, "skip")
-        .unionByName(evaluate_predictions(gt, pred, "empty"))
+        totals(per_line.filter("has_pred"), "skip")
+        .unionByName(totals(per_line, "empty"))
         .orderBy("mode")
     )
 
@@ -404,7 +431,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_DF = 100
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
-    words = docs.select("doc_id", F.split(clean, " ").alias("w"))
+    from calamari_spark.plans.common import fan_out
+
+    # fan_out: spread the regularize+shingle map (single-file scan)
+    words = fan_out(docs, "doc_id").select("doc_id", F.split(clean, " ").alias("w"))
     n = F.size("w") - 2
     raw_shingles = (
         words.filter(n > 0)

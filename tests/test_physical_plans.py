@@ -76,14 +76,19 @@ def test_ann_query_broadcasts_query_set(spark):
            "BroadcastHashJoin" in _plan(q_ann_cosine_topk(spark, SF))
     ivf_plan = _plan(q_ann_ivf_topk(spark, SF))
     assert "Broadcast" in ivf_plan
-    # IVF cell assignment is a pure per-row map: the ONLY hash shuffle in
-    # the whole query is the final per-query top-k (partitioned by query_id,
-    # pre-reduced by WindowGroupLimit). The round-1 plan shuffled an
-    # 8x-exploded corpus through a per-vector window.
+    # IVF cell assignment is a pure per-row map: the hash shuffles in the
+    # whole query are (a) the fan_out spread of the corpus rows BEFORE the
+    # expensive cell-assignment cosines (a single-file scan otherwise runs
+    # the kernel on one core) and (b) the final per-query top-k
+    # (partitioned by query_id, pre-reduced by WindowGroupLimit). The
+    # round-1 plan shuffled an 8x-exploded corpus through a per-vector
+    # window.
     hash_exchanges = [
         ln for ln in ivf_plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(hash_exchanges) == 1 and "query_id" in hash_exchanges[0], hash_exchanges
+    assert len(hash_exchanges) == 2, hash_exchanges
+    assert any("query_id" in ln for ln in hash_exchanges), hash_exchanges
+    assert any("vec_id" in ln for ln in hash_exchanges), hash_exchanges
     assert "WindowGroupLimit" in ivf_plan  # partial top-k before the shuffle
 
 
