@@ -428,3 +428,76 @@ def nfc_column(col: Column) -> Column:
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
     return series_udf(_nfc, "string")(col)
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (main-content extraction; the north rule's
+# "HTML boilerplate strip / DOM heuristics" surface)
+# ---------------------------------------------------------------------------
+
+# Ordered regex rules, ONE list driving the Spark chain, the Python twin,
+# and the DuckDB oracle (RE2-safe subset: no backreferences/lookarounds;
+# inline (?is) = dotall + case-insensitive works in both engines). The DOM
+# heuristic is the classic container blocklist: script/style/comments go
+# first (their CONTENT is never text), then chrome containers
+# (nav/header/footer/aside — boilerplate by role), then every remaining
+# tag collapses to a space.
+HTML_BOILERPLATE_RULES = [
+    (r"(?is)<head\b[^>]*>.*?</head>", " "),
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<nav\b[^>]*>.*?</nav>", " "),
+    (r"(?is)<header\b[^>]*>.*?</header>", " "),
+    (r"(?is)<footer\b[^>]*>.*?</footer>", " "),
+    (r"(?is)<aside\b[^>]*>.*?</aside>", " "),
+    (r"(?s)<[^>]+>", " "),
+]
+
+# entity decode AFTER tag strip (so &lt;b&gt; stays literal text, the
+# standard order); &amp; decodes LAST so "&amp;lt;" yields "&lt;", not "<"
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+_WS_COLLAPSE = (r"\s+", " ")
+
+
+def html_strip_str(html: str) -> str:
+    """Python twin (unit tests / property tests)."""
+    out = html
+    for pat, rep in HTML_BOILERPLATE_RULES:
+        out = re.sub(pat, rep, out)
+    for ent, ch in HTML_ENTITIES:
+        out = out.replace(ent, ch)
+    out = re.sub(*_WS_COLLAPSE, out).strip()
+    return out
+
+
+def html_strip_col(col: Column) -> Column:
+    """Native Catalyst chain — JVM regex, whole-stage-codegen'd, no Python
+    in the loop (the same shape as the regularizer rulesets)."""
+    for pat, rep in HTML_BOILERPLATE_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    col = F.regexp_replace(col, *_WS_COLLAPSE)
+    return F.trim(col)
+
+
+def html_strip_sql(expr: str) -> str:
+    """The identical chain as a DuckDB expression (regexp_replace needs the
+    explicit 'g' option there — it replaces only the first match without)."""
+    out = expr
+    for pat, rep in HTML_BOILERPLATE_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{c}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

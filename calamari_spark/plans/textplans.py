@@ -690,6 +690,56 @@ TEXT_QUERIES = {
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
 }
 
+# HTML main-content extraction (the north rule's "HTML boilerplate strip /
+# DOM heuristics" surface, stated literally). The corpus has no HTML
+# column, so the page is SYNTHESIZED deterministically around each
+# document's text — head/script/style/nav/aside/footer chrome plus
+# entity-encoded trailing markup — and the strip must recover exactly the
+# article text. One rule list (functions/text.HTML_BOILERPLATE_RULES)
+# drives the Catalyst chain, the Python twin, and the DuckDB oracle.
+_PAGE_PRE = (
+    '<html><head><title>doc</title>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p{margin:0}</style></head>"
+    '<body><nav><a href="#">home</a> | <a href="#">about</a></nav>'
+    '<div id="main"><p>'
+)
+_PAGE_POST = (
+    " &amp; trailing &lt;markup&gt;</p></div>"
+    "<aside>related links</aside>"
+    "<footer>&copy; 2026 corpus</footer></body></html>"
+)
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calamari_spark.functions.text import html_strip_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    page = F.concat(
+        F.lit(_PAGE_PRE), _regularized_col(F.col("text")), F.lit(_PAGE_POST)
+    )
+    return docs.select(
+        "doc_id",
+        F.length(page).alias("n_raw"),
+        html_strip_col(page).alias("main_text"),
+    ).withColumn("n_main", F.length("main_text")).orderBy("doc_id")
+
+
+def _html_strip_sql() -> str:
+    from calamari_spark.functions.text import html_strip_sql
+
+    pre = _PAGE_PRE.replace("'", "''")
+    post = _PAGE_POST.replace("'", "''")
+    page = f"'{pre}' || {_REG_SQL} || '{post}'"
+    return f"""
+SELECT doc_id,
+       length({page}) AS n_raw,
+       {html_strip_sql(page)} AS main_text,
+       length({html_strip_sql(page)}) AS n_main
+FROM documents ORDER BY doc_id
+"""
+
+
 # merged into driver rows above (q_token_count / q_quality_score /
 # q_simhash / x_dataset_stats) but still oracle-verified by pytest — the
 # driver's attestation window is 50 rows, so near-duplicate shapes share one
@@ -698,4 +748,5 @@ TEXT_SHADOW_QUERIES = {
     "q_langid": (q_langid, Q_LANGID_SQL),
     "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
+    "q_html_strip": (q_html_strip, _html_strip_sql()),
 }

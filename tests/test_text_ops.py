@@ -122,3 +122,40 @@ def test_evaluator_error_mode_raises_on_missing_pred(spark):
 
     with pytest.raises(ValueError, match="mode"):
         evaluate_predictions(gt, pred_full, "loud")
+
+
+def test_html_strip_boilerplate_and_entities():
+    """Main-content extraction: chrome containers (head/nav/aside/footer),
+    script/style payloads, and comments vanish; entities decode AFTER tag
+    strip (so encoded markup stays literal text); &amp; decodes last."""
+    from calamari_spark.functions.text import html_strip_str
+
+    page = (
+        '<html><head><title>t</title><script>var a = 1 < 2;</script>'
+        "<style>p{margin:0}</style></head>"
+        '<body><NAV><a href="#">home</a></NAV>'
+        "<!-- tracking pixel -->"
+        "<div id='main'><p>real &quot;content&quot; &amp; more &lt;b&gt;</p></div>"
+        "<aside>links</aside><footer>c</footer></body></html>"
+    )
+    assert html_strip_str(page) == 'real "content" & more <b>'
+    # header element is removed, but <head... must not swallow <header...
+    assert html_strip_str("<header>x</header><p>y</p>") == "y"
+    assert html_strip_str("a &amp;lt; b") == "a &lt; b"  # no double decode
+    assert html_strip_str("  <p>  spaced   out  </p> ") == "spaced out"
+
+
+def test_html_strip_spark_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from calamari_spark.functions.text import html_strip_col, html_strip_str
+
+    pages = [
+        "<html><head><script>j()</script></head><body><p>alpha beta</p></body></html>",
+        "<div><nav>n</nav><p>x &amp; y</p><footer>f</footer></div>",
+        "plain text, no markup",
+        "<p>unclosed <b>bold",
+    ]
+    df = spark.createDataFrame([(p,) for p in pages], "page string")
+    got = [r["s"] for r in df.select(html_strip_col(F.col("page")).alias("s")).collect()]
+    assert got == [html_strip_str(p) for p in pages]
