@@ -740,6 +740,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+# PDF/layout parse (the north rule's remaining extraction surface): each
+# document renders to a real single-page PDF (pure-Python writer,
+# sources/pdf.py — same from-spec approach as the PNG codec) whose content
+# stream lists text objects in SCRAMBLED order; the extract stage must
+# recover reading order from glyph coordinates. The oracle rebuilds the
+# expected 8-words-per-line split with string ops only, so the whole
+# render->parse round trip (escaping, xref, stream parse, layout sort) is
+# what the hash attests.
+PDF_WORDS_PER_LINE = 8
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from calamari_spark.plans.common import fan_out
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(_regularized_col(F.col("text")), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(PDF_WORDS_PER_LINE)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * PDF_WORDS_PER_LINE + 1, PDF_WORDS_PER_LINE)
+        ),
+    )
+    # fan_out: the render+parse round trip is the expensive per-row kernel
+    src = fan_out(docs, "doc_id").select("doc_id", lines.alias("lines"))
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.sources.pdf import make_pdf
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "pdf": [make_pdf(list(ls)) for ls in b["lines"]],
+                }
+            )
+
+    pdfs = src.mapInPandas(render, "doc_id long, pdf binary")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from calamari_spark.sources.pdf import extract_text
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["pdf"]):
+                for i, line in enumerate(extract_text(bytes(blob))):
+                    rows.append({"doc_id": doc_id, "line_no": i, "line": line})
+            yield pd.DataFrame(rows, columns=["doc_id", "line_no", "line"])
+
+    return pdfs.mapInPandas(parse, "doc_id long, line_no int, line string").orderBy(
+        "doc_id", "line_no"
+    )
+
+
+Q_PDF_SQL = f"""
+SELECT doc_id, CAST(u.i AS INT) AS line_no,
+       array_to_string(
+         w[(CAST(u.i AS BIGINT)*{PDF_WORDS_PER_LINE}+1):(CAST(u.i AS BIGINT)*{PDF_WORDS_PER_LINE}+{PDF_WORDS_PER_LINE})],
+         ' ') AS line
+FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents),
+     UNNEST(range(CAST(ceil(len(w)/{PDF_WORDS_PER_LINE}.0) AS BIGINT))) AS u(i)
+ORDER BY doc_id, line_no
+"""
+
+
 # merged into driver rows above (q_token_count / q_quality_score /
 # q_simhash / x_dataset_stats) but still oracle-verified by pytest — the
 # driver's attestation window is 50 rows, so near-duplicate shapes share one
@@ -749,4 +818,5 @@ TEXT_SHADOW_QUERIES = {
     "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
     "q_html_strip": (q_html_strip, _html_strip_sql()),
+    "q_pdf_extract": (q_pdf_extract, Q_PDF_SQL),
 }
