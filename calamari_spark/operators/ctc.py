@@ -414,6 +414,7 @@ def word_beam_decode(
     beam_width: int = 25,
     use_ngrams: bool = True,
     allow_word_to_word: bool = False,
+    initial_words: Sequence[str] = (),
 ) -> str:
     """Word-beam search: dictionary-constrained beams, rescored by the word
     LM (unigram for the first word, bigram after; in-progress words score
@@ -431,6 +432,11 @@ def word_beam_decode(
 
     genesis = _WBeam()
     genesis.pb = 1.0
+    # mid-line decoding: seed the textual state with the words already
+    # decoded to the left, so the FIRST word of this slice is scored by
+    # bigram(initial_words[-1], .) instead of its unigram — the LM state a
+    # full-line beam would carry at this point
+    genesis.word_hist = tuple(initial_words)
     last: Dict[str, _WBeam] = {"": genesis}
 
     def add(pool: Dict[str, _WBeam], b: _WBeam) -> None:

@@ -86,9 +86,13 @@ def interleaved_dir(spark: SparkSession, sf_dir: str) -> str:
         from calamari_spark.sources.synth import write_corpus
 
         write_corpus(spark, out, N_DOCS[sf], corpus="main", skew_tail=True)
-    if not os.path.exists(os.path.join(out, "vocab.json")):
-        # corpora materialized before vocab shipping: backfill the model
-        # constant once (the offline LM-training step, not query work)
+    if not (
+        os.path.exists(os.path.join(out, "vocab.json"))
+        and os.path.exists(os.path.join(out, "vocab_bigrams.json"))
+    ):
+        # corpora materialized before vocab (or bigram) shipping: backfill
+        # the model constants once (the offline LM-training step, not
+        # query work)
         from calamari_spark.sources.synth import write_vocab
 
         write_vocab(spark, out)
@@ -102,6 +106,18 @@ def load_vocab(sf_dir: str) -> Dict[str, int]:
 
     with open(os.path.join(interleaved_dir_path(sf_dir), "vocab.json")) as f:
         return json.load(f)
+
+
+def load_vocab_bigrams(sf_dir: str) -> Dict[tuple, int]:
+    """(w1, w2) -> count model constant (write_vocab ships it as
+    vocab_bigrams.json keyed "w1 w2")."""
+    import json
+
+    with open(
+        os.path.join(interleaved_dir_path(sf_dir), "vocab_bigrams.json")
+    ) as f:
+        raw = json.load(f)
+    return {tuple(k.split(" ", 1)): n for k, n in raw.items()}
 
 
 def load_interleaved(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataFrame]:
@@ -939,28 +955,28 @@ def x_media_text_tokenpass_oracle(sf_dir: str) -> str:
     )
 
 
-def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-beam search WITH unigram-LM scoring as a distributed stage
-    (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM). The LM's
-    word counts are the vocab.json MODEL CONSTANT (trained offline by the
-    corpus materialization and shipped like the IVF centroids). Each line's
-    FIRST word is decoded from the REAL template softmax: the first-word
-    frame range is found from the optics alone (inter-word glyph-start gaps
-    are 16 px = 4 pooled frames exactly, intra-word gaps 2-3 — the same
-    fixed font metric _spaces_between uses), the slice runs through the
-    LM-constrained beam with use_ngrams scoring. Oracle: the GT's first
-    word."""
+def _wordlm_prefix_query(
+    spark: SparkSession, sf_dir: str, n_words: int, out_col: str
+) -> DataFrame:
+    """Shared engine for the word-LM prefix decodes: slice each line's REAL
+    template softmax at its ``n_words``-th inter-word gap (glyph-start gaps
+    of >= 4 pooled frames = 16 px, the fixed font metric _spaces_between
+    uses; intra-word gaps are 2-3) and run the slice through the
+    LM-constrained word beam with use_ngrams scoring. The LM is built by
+    WordLM.from_counts from the vocab.json + vocab_bigrams.json MODEL
+    CONSTANTS (trained offline by the corpus materialization, shipped like
+    the IVF centroids — no corpus string, no query-time collect)."""
     docs, media = load_interleaved(spark, sf_dir)
     lines = media.select("media_ref", "png")
 
-    counts = load_vocab(sf_dir)
-    # (word -> count) model constant, fed straight to the count-aware LM
+    # (word -> count) model constants, fed straight to the count-aware LM
     # constructor: no repeated-word corpus string is ever materialized (at a
     # 10^7-word vocabulary that expansion is multi-GB per executor and its
     # per-word cap quantizes the unigram distribution)
-    vocab_counts = dict(sorted(counts.items()))
+    vocab_counts = dict(sorted(load_vocab(sf_dir).items()))
+    bigram_counts = load_vocab_bigrams(sf_dir)
 
-    schema = "media_ref string, first_word string"
+    schema = f"media_ref string, {out_col} string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -976,11 +992,16 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # key on the count-table CONTENT: same-size vocabularies from
         # different corpora must not reuse a stale cached LM
         digest = _hl.sha256(
-            f"{charset}|{_json.dumps(vocab_counts, sort_keys=True)}".encode()
+            (
+                f"{charset}|{_json.dumps(vocab_counts, sort_keys=True)}"
+                f"|{sorted(bigram_counts.items())!r}"
+            ).encode()
         ).hexdigest()
         key = "wordlm:" + digest
         if key not in _WORKER_STATE:
-            _WORKER_STATE[key] = WordLM.from_counts(vocab_counts, charset, word_chars)
+            _WORKER_STATE[key] = WordLM.from_counts(
+                vocab_counts, charset, word_chars, bigram_counts=bigram_counts
+            )
         lm = _WORKER_STATE[key]
         for b in batches:
             rows = []
@@ -988,16 +1009,35 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = decode_png(bytes(png))
                 sm = rec.forward_single(img)  # blank-first [T, classes]
                 peaks = np.flatnonzero(sm.argmax(axis=1) != 0)
-                cut = sm.shape[0]
+                # word-slice boundaries at the inter-word gaps; spaces are
+                # BLANK RUNS in the optics (no space label), so each word
+                # decodes from its own slice with the word history threaded
+                # through initial_words — word k >= 2 is then scored by
+                # bigram(word_{k-1}, .) exactly as a full-line beam would
+                bounds = [0]
                 for a, c in zip(peaks, peaks[1:]):
-                    if c - a >= 4:  # first inter-word gap
-                        cut = int(a) + 2
+                    if c - a >= 4:  # inter-word gap
+                        bounds.append(int(a) + 2)
+                        if len(bounds) == n_words + 1:
+                            break
+                while len(bounds) < n_words + 1:
+                    bounds.append(sm.shape[0])
+                words_out = []
+                for k in range(n_words):
+                    lo, hi = bounds[k], bounds[k + 1]
+                    if hi <= lo:
                         break
-                # roll blank-first -> blank-last (this decoder's convention)
-                mat = np.concatenate([sm[:cut, 1:], sm[:cut, :1]], axis=1)
-                out = word_beam_decode(mat, charset, lm, beam_width=10, use_ngrams=True)
-                rows.append({"media_ref": ref, "first_word": out})
-            yield pd.DataFrame(rows, columns=["media_ref", "first_word"])
+                    # roll blank-first -> blank-last (decoder convention)
+                    mat = np.concatenate([sm[lo:hi, 1:], sm[lo:hi, :1]], axis=1)
+                    w = word_beam_decode(
+                        mat, charset, lm, beam_width=10, use_ngrams=True,
+                        initial_words=tuple(words_out),
+                    )
+                    if w == "":
+                        break
+                    words_out.append(w)
+                rows.append({"media_ref": ref, out_col: " ".join(words_out)})
+            yield pd.DataFrame(rows, columns=["media_ref", out_col])
 
     n_part = spark.sparkContext.defaultParallelism * 2
     return (
@@ -1007,10 +1047,37 @@ def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_media_text_wordlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-beam search WITH unigram-LM scoring as a distributed stage
+    (reference: ctcwordbeamsearchdecoder.py:9-26 + thirdparty LM): each
+    line's FIRST word from the real softmax. Oracle: the GT's first
+    word."""
+    return _wordlm_prefix_query(spark, sf_dir, 1, "first_word")
+
+
 def x_media_text_wordlm_oracle(sf_dir: str) -> str:
     media = _fixture_glob(sf_dir, "line_images")
     return (
         f"SELECT media_ref, string_split(gt, ' ')[1] AS first_word"
+        f" FROM read_parquet('{media}') ORDER BY media_ref"
+    )
+
+
+def x_media_text_wordlm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIGRAM path of the word LM exercised distributed: the first TWO
+    words decode through the beam, so completing word 2 scores
+    bigram(word1, word2) from the shipped vocab_bigrams.json counts
+    (reference LM semantics: LanguageModel.py:40-64; our count-aware
+    construction: operators/ctc.py WordLM.from_counts). Oracle: the GT's
+    first two words."""
+    return _wordlm_prefix_query(spark, sf_dir, 2, "first_two")
+
+
+def x_media_text_wordlm_bigram_oracle(sf_dir: str) -> str:
+    media = _fixture_glob(sf_dir, "line_images")
+    return (
+        f"SELECT media_ref,"
+        f" array_to_string(string_split(gt, ' ')[1:2], ' ') AS first_two"
         f" FROM read_parquet('{media}') ORDER BY media_ref"
     )
 
@@ -1295,4 +1362,7 @@ EXTRACTION_SHADOW_QUERIES = {
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
     "x_recognize_positions": (x_recognize_positions, None),
     "x_span_integrity": _sfq(x_span_integrity, x_span_integrity_oracle),
+    "x_media_text_wordlm_bigram": _sfq(
+        x_media_text_wordlm_bigram, x_media_text_wordlm_bigram_oracle
+    ),
 }

@@ -189,6 +189,32 @@ def write_vocab(spark: SparkSession, out_dir: str) -> None:
         json.dump(vocab, f, sort_keys=True, indent=0)
     os.replace(tmp, os.path.join(out_dir, "vocab.json"))
 
+    # bigram counts over per-line adjacency (lines are the LM's sentence
+    # units — no cross-line pairs), keyed "w1 w2"; the model constant the
+    # count-aware WordLM.from_counts consumes for bigram rescoring
+    words = media.select(F.split("gt", " ").alias("ws")).filter(
+        F.size("ws") >= 2  # sequence(0, size-2) would DESCEND for 1-word lines
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+                )
+            ).alias("pair")
+        )
+        .filter(~F.col("pair").contains("  ") & (F.col("pair") != ""))
+        .groupBy("pair")
+        .count()
+        .collect()
+    )
+    bigrams = {r["pair"]: int(r["count"]) for r in pairs if " " in r["pair"].strip()}
+    tmp = os.path.join(out_dir, "vocab_bigrams.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(bigrams, f, sort_keys=True, indent=0)
+    os.replace(tmp, os.path.join(out_dir, "vocab_bigrams.json"))
+
 
 def expected_text_output(noisy: str) -> str:
     """The golden output of the text-span path (strip + NFC + spaces/quotes

@@ -116,3 +116,43 @@ def test_from_counts_matches_corpus_built_lm():
             assert abs(a.bigram(w1, w2) - b.bigram(w1, w2)) < 1e-12
     assert a.next_chars("th") == b.next_chars("th")
     assert a.next_words("c") == b.next_words("c")
+
+
+def test_initial_words_thread_bigram_scoring_into_the_beam():
+    """Mid-line decoding: with the left-context word seeded via
+    initial_words, an optically ambiguous word resolves by
+    bigram(prev, .); without context (or with a context that has no
+    observed bigram) the optics win."""
+    chars = "abcdehrtT "
+    word_chars = "abcdehrtT"
+    uni = {"the": 10, "cat": 5, "car": 5, "he": 2}
+    # 'the cat' observed; 'the car' only via the +k fallback. 'he' has
+    # successors (so its fallback mass exists — a w1 with NO observed
+    # successor scores every w2 zero, reference LanguageModel semantics)
+    # but none toward cat/car, so under 'he' the optics decide.
+    big = {("the", "cat"): 8, ("he", "the"): 1}
+    lm = WordLM.from_counts(uni, chars, word_chars, bigram_counts=big)
+
+    def col(c):
+        return chars.index(c)
+
+    # frames spelling c-a-? where the last char is slightly MORE likely 'r'
+    T = 3
+    mat_cls = np.full((T, len(chars) + 1), 0.001)
+    mat_cls[0, col("c")] = 0.95
+    mat_cls[1, col("a")] = 0.95
+    mat_cls[2, col("r")] = 0.50
+    mat_cls[2, col("t")] = 0.45
+    mat_cls /= mat_cls.sum(axis=1, keepdims=True)
+
+    # optics alone (no usable bigram context): 'car' wins
+    assert word_beam_decode(mat_cls, chars, lm, use_ngrams=True) == "car"
+    assert (
+        word_beam_decode(mat_cls, chars, lm, use_ngrams=True, initial_words=("he",))
+        == "car"
+    )
+    # after 'the', bigram(the, cat)=seen >> bigram(the, car)=fallback: 'cat'
+    assert (
+        word_beam_decode(mat_cls, chars, lm, use_ngrams=True, initial_words=("the",))
+        == "cat"
+    )
