@@ -75,20 +75,26 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # release this rep's materialized (localCheckpoint'ed) blocks
-            # before the next query: pinned RDDs from earlier reps would
-            # otherwise stack up in the block manager and land GC/eviction
-            # pressure inside LATER queries' timed regions
+            # before the next timed region: drop the py4j refs, then
+            # unpersist the leftover RDD blocks EXPLICITLY — relying on the
+            # weak-ref ContextCleaner lets pinned blocks stack up across a
+            # long suite, and the resulting block-manager eviction thrash
+            # measured up to 8x inflation on individual late-suite rows
+            # (q_minhash at 5x data: 38s in a 25-query-old session vs 4.6s
+            # steady state). System.gc() pays the heap collection outside
+            # the timers too.
             del df
             gc.collect()
-        # and pay the JVM collection OUTSIDE the next timed region: the
-        # Python gc only drops the py4j refs; the heap pages of the freed
-        # blocks are otherwise reclaimed by a GC pause that lands inside
-        # whichever later query happens to allocate first (measured: up to
-        # 3x inflation on individual rows late in a long suite)
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+            try:
+                sc = spark.sparkContext
+                leftovers = sc._jvm.scala.collection.JavaConverters.mapAsJavaMapConverter(
+                    sc._jsc.sc().getPersistentRDDs()
+                ).asJava()
+                for rdd in leftovers.values():
+                    rdd.unpersist(False)
+                sc._jvm.System.gc()
+            except Exception:
+                pass
         times[name] = round(best, 3)
     return times
 
