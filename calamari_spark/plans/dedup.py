@@ -266,11 +266,44 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             ).alias("e")
         ).select("e.src", "e.dst")
     )
-    labels = (
+    # Each round's labels table is corpus-sized; without explicit release
+    # the loop pins R copies in the block manager (at 10^12 docs that is
+    # the job's OOM). Track the RDD ids each round's localCheckpoint
+    # creates and unpersist ONLY those once the next round has consumed
+    # them — never other frames (a foreign localCheckpoint'ed RDD cannot
+    # recompute after unpersist, so a blanket sweep would break concurrent
+    # queries).
+    sc = pairs.sparkSession.sparkContext
+
+    def _pinned_ids():
+        try:
+            jmap = sc._jvm.scala.collection.JavaConverters.mapAsJavaMapConverter(
+                sc._jsc.sc().getPersistentRDDs()
+            ).asJava()
+            return {e.getKey(): e.getValue() for e in jmap.entrySet()}
+        except Exception:
+            return {}
+
+    def _checkpoint_tracked(df: DataFrame):
+        before = set(_pinned_ids())
+        out = df.localCheckpoint()
+        created = {i for i in _pinned_ids() if i not in before}
+        return out, created
+
+    def _release(ids) -> None:
+        pinned = _pinned_ids()
+        for i in ids:
+            rdd = pinned.get(i)
+            if rdd is not None:
+                try:
+                    rdd.unpersist(False)
+                except Exception:
+                    pass
+
+    labels, own_prev = _checkpoint_tracked(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -283,15 +316,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("src").alias("doc_id"), "min_nbr")
         )
         new_label = F.least(F.col("label"), F.coalesce("min_nbr", F.col("label")))
-        new_labels = (
+        new_labels, own_new = _checkpoint_tracked(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 new_label.alias("label"),
                 (new_label < F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
         )
+        # the new round is materialized (localCheckpoint is eager): the
+        # previous round's blocks are dead weight from here on
+        _release(own_prev)
+        own_prev = own_new
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
