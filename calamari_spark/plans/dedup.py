@@ -284,7 +284,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         except Exception:
             return {}
 
+    import os
+
+    from calamari_spark.plans.common import BACKEND_ENV
+
+    backend = os.environ.get(BACKEND_ENV, "local")
+
     def _checkpoint_tracked(df: DataFrame):
+        if backend != "local":
+            # durable rounds (reliable checkpoint / parquet) live as files,
+            # not pinned blocks — nothing to track or release, and a lost
+            # executor replays from storage (the 100 TB setting)
+            return materialize(df, backend), set()
         before = set(_pinned_ids())
         out = df.localCheckpoint()
         created = {i for i in _pinned_ids() if i not in before}
