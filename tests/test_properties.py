@@ -178,3 +178,42 @@ def test_augment_variant_deterministic(seed, variant):
     b = augment_line(img, f"k{seed}", variant)
     assert np.array_equal(a, b)
     assert a.shape == img.shape and a.dtype == np.uint8
+
+
+_PDF_CHARS = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyz0123456789 ()\\.,:;!?-'\""
+    ),
+    max_size=24,
+)
+
+
+@given(st.lists(_PDF_CHARS, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_pdf_roundtrip_any_printable_lines(lines):
+    """make_pdf -> extract_text is the identity on arbitrary printable
+    lines (escaping of parens/backslashes included), despite the writer's
+    scrambled stream order."""
+    from calamari_spark.sources.pdf import extract_text, make_pdf
+
+    assert extract_text(make_pdf(lines)) == lines
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz .,!?-"),
+        max_size=80,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_html_strip_is_whitespace_collapse_on_markup_free_text(text):
+    """Tag- and entity-free text passes through the boilerplate strip
+    unchanged modulo whitespace collapsing — the strip never eats
+    content."""
+    import re as _re
+
+    from calamari_spark.functions.text import html_strip_str
+
+    expected = _re.sub(r"\s+", " ", text).strip()
+    assert html_strip_str(text) == expected
+    assert html_strip_str(f"<div><p>{text}</p></div>") == expected
