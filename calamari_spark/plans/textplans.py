@@ -809,6 +809,49 @@ ORDER BY doc_id, line_no
 """
 
 
+# Link extraction — the DOM parse's other output (a web-extraction
+# pipeline keeps the outlink graph alongside the main text). Links are
+# synthesized deterministically per document (one absolute URL whose
+# subdomain/path derive from doc_id, one relative URL), then extracted
+# with the same regex in both engines; the domain column normalizes
+# absolute URLs (relative ones get '').
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    page = F.concat(
+        F.lit("<p>"),
+        _regularized_col(F.col("text")),
+        F.lit('</p><a href="https://site'),
+        F.pmod(F.col("doc_id"), F.lit(3)),
+        F.lit(".example.org/doc/"),
+        F.pmod(F.col("doc_id"), F.lit(97)),
+        F.lit('">out</a><a href="/rel/'),
+        F.pmod(F.col("doc_id"), F.lit(7)),
+        F.lit('">rel</a>'),
+    )
+    hrefs = F.regexp_extract_all(page, F.lit('href="([^"]+)"'), 1)
+    return (
+        docs.select("doc_id", F.explode(hrefs).alias("href"))
+        .withColumn("domain", F.regexp_extract("href", "^https?://([^/]+)", 1))
+        .orderBy("doc_id", "href")
+    )
+
+
+Q_LINK_SQL = f"""
+SELECT doc_id, u.href AS href,
+       regexp_extract(u.href, '^https?://([^/]+)', 1) AS domain
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           '<p>' || {_REG_SQL} || '</p><a href="https://site' ||
+           (doc_id % 3) || '.example.org/doc/' || (doc_id % 97) ||
+           '">out</a><a href="/rel/' || (doc_id % 7) || '">rel</a>',
+           'href="([^"]+)"', 1)) AS href
+  FROM documents
+) u
+ORDER BY doc_id, href
+"""
+
+
 # merged into driver rows above (q_token_count / q_quality_score /
 # q_simhash / x_dataset_stats) but still oracle-verified by pytest — the
 # driver's attestation window is 50 rows, so near-duplicate shapes share one
@@ -819,4 +862,5 @@ TEXT_SHADOW_QUERIES = {
     "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
     "q_html_strip": (q_html_strip, _html_strip_sql()),
     "q_pdf_extract": (q_pdf_extract, Q_PDF_SQL),
+    "q_link_extract": (q_link_extract, Q_LINK_SQL),
 }
