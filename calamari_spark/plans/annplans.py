@@ -117,12 +117,20 @@ ORDER BY id_a, id_b
 
 
 NEARDUP_LSH_BANDS = 6   # OR over bands boosts recall
-NEARDUP_LSH_BITS = 8    # FLOOR for signs per band (the attestation-SF
-                        # value the static oracle mirrors); the query uses
+NEARDUP_LSH_BITS = 8    # FLOOR for signs per band; the query uses
                         # neardup_bits(n) ~ log2(corpus) so buckets stay
                         # near-singleton at every SF (3 bits made buckets
                         # of n/8 and 830k candidate pairs from 2000
-                        # vectors; fixed 8 bits went quadratic at 10k)
+                        # vectors; fixed 8 bits went quadratic at 10k).
+                        # The floor binds for n <= 1024 (neardup_bits(2000)
+                        # is already 9); the oracle computes the SAME
+                        # count-scaled width in SQL, so parity holds at
+                        # every SF, not just below the floor.
+NEARDUP_ORACLE_BITS_MAX = 16  # per-band hyperplane pool embedded in the
+                              # oracle SQL; covers n <= 2^18 vectors, far
+                              # above any attestation SF (Spark itself is
+                              # unbounded — the pool is prefix-stable per
+                              # band, see _hyperplanes)
 NEARDUP_THRESHOLD = 0.40
 EMB_DIM = 64
 
@@ -139,9 +147,11 @@ def neardup_bits(n_vectors: int) -> int:
     The -2 margin trades a little occupancy (~4/bucket) for recall: the
     collision probability per band is p^bits for match probability p, so
     each extra bit costs recall — log2(n) - 2 is the standard
-    occupancy/recall balance for banded sign-LSH. At the attestation SFs
-    (<= 2k vectors) this resolves to the fixed 8-bit scheme the static
-    DuckDB oracle mirrors, so driver parity is unchanged by construction."""
+    occupancy/recall balance for banded sign-LSH. The DuckDB oracle
+    computes the identical width from count(*) in SQL (greatest(8,
+    ceil(log2 n) - 2)) over a prefix-stable hyperplane pool, so engine
+    parity holds at every SF by construction rather than only where the
+    8-bit floor binds (n <= 1024)."""
     import math
 
     return max(NEARDUP_LSH_BITS, math.ceil(math.log2(max(n_vectors, 2))) - 2)
@@ -154,12 +164,24 @@ def _hyperplanes(bits: int = NEARDUP_LSH_BITS) -> "np.ndarray":
     signature bit an exact INTEGER comparison — bit-identical across
     engines and summation orders, so the vectorized numpy path below is
     safe (a float dot's near-zero sign could differ between numpy's
-    blocked BLAS sum and DuckDB's sequential sum)."""
+    blocked BLAS sum and DuckDB's sequential sum).
+
+    Each band draws from its OWN seeded stream, so band b's first r
+    hyperplanes are identical for every ``bits`` — the oracle embeds the
+    full NEARDUP_ORACLE_BITS_MAX pool per band as literal SQL and slices
+    the first ``bits`` characters at query time, guaranteeing the two
+    engines bucket on the same planes no matter what width the corpus
+    count resolves to. Row layout matches the signature UDF: b * bits + r."""
     import numpy as np
 
-    rng = np.random.RandomState(42)
-    return (rng.randint(0, 2, (NEARDUP_LSH_BANDS * bits, EMB_DIM)) * 2 - 1).astype(
-        np.int64
+    return np.concatenate(
+        [
+            (
+                np.random.RandomState(1000 + b).randint(0, 2, (bits, EMB_DIM)) * 2 - 1
+            ).astype(np.int64)
+            for b in range(NEARDUP_LSH_BANDS)
+        ],
+        axis=0,
     )
 
 
@@ -263,7 +285,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_lsh_oracle() -> str:
-    H = _hyperplanes()
+    """Count-scaled band width in pure SQL: the full 16-bit hyperplane
+    pool is embedded per band (prefix-stable, see _hyperplanes) and the
+    band key is the first ``bits`` characters, with bits computed from
+    count(*) exactly as neardup_bits does — parity with the Spark plan at
+    every SF, not just where the 8-bit floor binds."""
+    H = _hyperplanes(NEARDUP_ORACLE_BITS_MAX)
 
     def bit_expr(hvec):
         # exact integer sum: +/- floor(e_i * 4096), identical to the numpy
@@ -276,17 +303,24 @@ def _neardup_lsh_oracle() -> str:
 
     def key_expr(b):
         return "(" + " || ".join(
-            bit_expr(H[b * NEARDUP_LSH_BITS + r]) for r in range(NEARDUP_LSH_BITS)
+            bit_expr(H[b * NEARDUP_ORACLE_BITS_MAX + r])
+            for r in range(NEARDUP_ORACLE_BITS_MAX)
         ) + ")"
 
     from calamari_spark.plans.dedup import banded_candidates_sql
 
     band_rows = ", ".join(f"({b}, {key_expr(b)})" for b in range(NEARDUP_LSH_BANDS))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH w AS (
+  SELECT least({NEARDUP_ORACLE_BITS_MAX},
+               greatest({NEARDUP_LSH_BITS},
+                        cast(ceil(log2(count(*))) AS INT) - 2)) AS bits
+  FROM embeddings
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 bands AS (
-  SELECT vec_id, band, key
-  FROM e, LATERAL (VALUES {band_rows}) AS v(band, key)
+  SELECT vec_id, band, substr(key_full, 1, (SELECT bits FROM w)) AS key
+  FROM e, LATERAL (VALUES {band_rows}) AS v(band, key_full)
 ),
 {banded_candidates_sql("vec_id", "id_a", "id_b")}
 SELECT id_a, id_b,

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
@@ -54,24 +55,119 @@ def materialize(df: DataFrame, backend: str | None = None) -> DataFrame:
       use anyway). Strongest: survives driver restart too, and the
       columnar read-back benefits from pruning/pushdown downstream.
     """
+    out, _ = materialize_tracked(df, backend)
+    return out
+
+
+@dataclass
+class MatHandle:
+    """Release handle for one materialize_tracked() call: exactly what that
+    call created and nothing else. ``rdd_id`` for local (block-manager
+    blocks), ``path`` for reliable/parquet (durable files)."""
+
+    backend: str
+    rdd_id: int | None = None
+    path: str | None = None
+
+
+def _owned_internal_rdd(out: DataFrame):
+    """The JVM RDD backing a just-checkpointed DataFrame — read off the
+    frame's own LogicalRDD node, NOT inferred by diffing the session-global
+    getPersistentRDDs() map (the diff attributed any RDD a CONCURRENT query
+    persisted inside the window to this caller, and unpersisting a foreign
+    localCheckpoint'ed RDD is fatal to its owner: no lineage fallback)."""
+    return out._jdf.queryExecution().analyzed().rdd()
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API so release works
+    on whatever scheme the durable dir lives on (HDFS/object store on a
+    cluster, file:/ here) — a python shutil.rmtree only covers local disk."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def materialize_tracked(
+    df: DataFrame, backend: str | None = None
+) -> tuple[DataFrame, MatHandle]:
+    """materialize() that also returns a release handle, for iterative
+    plans (connected_components) whose per-round intermediates are
+    corpus-sized: without explicit release the loop accumulates R copies —
+    pinned block-manager blocks under ``local``, checkpoint files under
+    ``reliable``, one uuid-named table per round under ``parquet``
+    (unbounded scratch growth in exactly the at-scale configuration the
+    durable backends exist for). Call release_materialized(handle) once the
+    NEXT round is materialized and nothing references this one."""
     backend = backend or os.environ.get(BACKEND_ENV, "local")
     if backend not in MATERIALIZE_BACKENDS:
         raise ValueError(
             f"materialize backend must be one of {MATERIALIZE_BACKENDS}, "
             f"got {backend!r}"
         )
-    if backend == "local":
-        return df.localCheckpoint()
     spark = df.sparkSession
+    if backend == "local":
+        out = df.localCheckpoint()
+        return out, MatHandle("local", rdd_id=_owned_internal_rdd(out).id())
     if backend == "reliable":
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(os.path.join(_durable_dir(spark), "ckpt"))
-        return df.checkpoint()
+        out = df.checkpoint()
+        ckpt = _owned_internal_rdd(out).getCheckpointFile()
+        path = ckpt.get() if ckpt.isDefined() else None
+        return out, MatHandle("reliable", path=path)
     # parquet: one durable intermediate per call, unique path
     path = os.path.join(_durable_dir(spark), f"mat-{uuid.uuid4().hex}")
     df.write.parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path), MatHandle("parquet", path=path)
+
+
+def release_materialized(spark, handle: MatHandle | None) -> None:
+    """Free ONE materialize_tracked() intermediate. Only call when no live
+    plan still reads it (for local there is no lineage fallback after
+    unpersist; for reliable/parquet the files ARE the data). Best-effort:
+    a failed release is a leak, not a wrong answer."""
+    if handle is None:
+        return
+    try:
+        if handle.backend == "local" and handle.rdd_id is not None:
+            jmap = spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMapConverter(
+                spark.sparkContext._jsc.sc().getPersistentRDDs()
+            ).asJava()
+            for e in jmap.entrySet():
+                if e.getKey() == handle.rdd_id:
+                    e.getValue().unpersist(False)
+                    break
+        elif handle.path is not None:
+            _hadoop_delete(spark, handle.path)
+    except Exception:
+        pass
+
+
+def sweep_materialize_scratch(spark) -> int:
+    """Session-end sweep of mat-* parquet scratch dirs under the durable
+    root (crash leftovers; normal runs release per-handle). Returns the
+    number of dirs removed. Only touches the ``mat-<hex>`` naming this
+    module creates — never checkpoint dirs, which Spark cleans itself when
+    spark.cleaner.referenceTracking.cleanCheckpoints is set."""
+    root = _durable_dir(spark)
+    sc = spark.sparkContext
+    try:
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return 0
+        removed = 0
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("mat-") and len(name) == 4 + 32:
+                fs.delete(st.getPath(), True)
+                removed += 1
+        return removed
+    except Exception:
+        return 0
 
 
 def fan_out(df: DataFrame, *cols: str, per_core: int = 2) -> DataFrame:

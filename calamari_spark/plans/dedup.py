@@ -242,21 +242,62 @@ ORDER BY doc_a, doc_b
 """
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+CC_ALGORITHM_ENV = "CALAMARI_SPARK_CC_ALGORITHM"
+CC_ALGORITHMS = ("minlabel", "star")
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    algorithm: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
     """Resolve candidate pairs (doc_a, doc_b) to clusters: every member gets
-    the cluster's min doc_id as its label. Iterative min-label propagation —
-    per round, one shuffle join (edges x labels) + one groupBy; rounds =
-    graph diameter, which for near-dup clusters is tiny (dup clusters are
-    dense). Each round localCheckpoints to cut lineage so the plan stays
-    linear at any scale; convergence is an exact no-change fixpoint.
+    the cluster's min doc_id as its label.
+
+    Two backends (``algorithm`` arg, else $CALAMARI_SPARK_CC_ALGORITHM,
+    default "minlabel"), selectable exactly like the materialize backends:
+
+    * ``minlabel`` — iterative min-label propagation: per round one shuffle
+      join (edges x labels) + one groupBy; rounds = graph DIAMETER. The
+      oracle-checked reference implementation: for LSH near-dup clusters
+      (dense, tiny diameter) it converges in 2-3 rounds, but a pathological
+      duplicate CHAIN (templated pagination pages A~B~C~..., a real crawl
+      artifact) of length d forces d rounds.
+    * ``star`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC 2014): same
+      join/groupBy primitives per round, but O(log n) rounds regardless of
+      diameter — the at-scale backend for 10^12-doc graphs whose shape is
+      not under our control.
+
+    Both converge to identical labels (min doc_id per component, equivalence
+    tests in tests/test_dedup_clusters.py); convergence is an exact check,
+    and non-convergence within ``max_iter`` raises (wrong keepers are worse
+    than a failed job). Per-round intermediates are corpus-sized, so every
+    round is materialized through materialize_tracked() and the superseded
+    round is released — pinned blocks under the local backend, checkpoint /
+    parquet FILES under the durable ones (round-4 ADVICE: the parquet
+    backend leaked one corpus-sized table per round).
 
     This is the keeper-assignment step every training-data dedup pipeline
     needs after LSH emits pairs (the reference stops at pair level, so this
     is an LLM-pipeline extension, not reference parity)."""
+    import os
+
+    from calamari_spark.plans.common import materialize_tracked, release_materialized
+
+    algorithm = algorithm or os.environ.get(CC_ALGORITHM_ENV, "minlabel")
+    if algorithm not in CC_ALGORITHMS:
+        raise ValueError(
+            f"connected_components algorithm must be one of {CC_ALGORITHMS}, "
+            f"got {algorithm!r}"
+        )
+    spark = pairs.sparkSession
+
     # symmetrize in ONE subtree (explode of both directions), not a
     # self-union whose two branches would each run the pair pipeline; the
     # materialization also bounds lineage for the iteration below
-    edges = materialize(
+    edges, edges_handle = materialize_tracked(
         pairs.select(
             F.explode(
                 F.array(
@@ -266,57 +307,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             ).alias("e")
         ).select("e.src", "e.dst")
     )
-    # Each round's labels table is corpus-sized; without explicit release
-    # the loop pins R copies in the block manager (at 10^12 docs that is
-    # the job's OOM). Track the RDD ids each round's localCheckpoint
-    # creates and unpersist ONLY those once the next round has consumed
-    # them — never other frames (a foreign localCheckpoint'ed RDD cannot
-    # recompute after unpersist, so a blanket sweep would break concurrent
-    # queries).
-    sc = pairs.sparkSession.sparkContext
+    if stats is None:
+        stats = {}
+    try:
+        if algorithm == "star":
+            return _cc_star(spark, edges, max_iter, stats)
+        return _cc_minlabel(spark, edges, max_iter, stats)
+    finally:
+        release_materialized(spark, edges_handle)
 
-    def _pinned_ids():
-        try:
-            jmap = sc._jvm.scala.collection.JavaConverters.mapAsJavaMapConverter(
-                sc._jsc.sc().getPersistentRDDs()
-            ).asJava()
-            return {e.getKey(): e.getValue() for e in jmap.entrySet()}
-        except Exception:
-            return {}
 
-    import os
+def _cc_nonconverged(max_iter: int) -> RuntimeError:
+    return RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+        " (a duplicate chain longer than max_iter?); raise max_iter"
+        " or use algorithm='star' (O(log n) rounds)"
+    )
 
-    from calamari_spark.plans.common import BACKEND_ENV
 
-    backend = os.environ.get(BACKEND_ENV, "local")
+def _cc_minlabel(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
+    """Min-label propagation over symmetric edges (src, dst); writes the
+    executed round count to stats["rounds"]."""
+    from calamari_spark.plans.common import materialize_tracked, release_materialized
 
-    def _checkpoint_tracked(df: DataFrame):
-        if backend != "local":
-            # durable rounds (reliable checkpoint / parquet) live as files,
-            # not pinned blocks — nothing to track or release, and a lost
-            # executor replays from storage (the 100 TB setting)
-            return materialize(df, backend), set()
-        before = set(_pinned_ids())
-        out = df.localCheckpoint()
-        created = {i for i in _pinned_ids() if i not in before}
-        return out, created
-
-    def _release(ids) -> None:
-        pinned = _pinned_ids()
-        for i in ids:
-            rdd = pinned.get(i)
-            if rdd is not None:
-                try:
-                    rdd.unpersist(False)
-                except Exception:
-                    pass
-
-    labels, own_prev = _checkpoint_tracked(
+    labels, own_prev = materialize_tracked(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    stats["rounds"] = 0
     for _ in range(max_iter):
+        stats["rounds"] += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nbr_label")),
@@ -327,7 +348,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("src").alias("doc_id"), "min_nbr")
         )
         new_label = F.least(F.col("label"), F.coalesce("min_nbr", F.col("label")))
-        new_labels, own_new = _checkpoint_tracked(
+        new_labels, own_new = materialize_tracked(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -335,9 +356,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 (new_label < F.col("label")).alias("changed"),
             )
         )
-        # the new round is materialized (localCheckpoint is eager): the
-        # previous round's blocks are dead weight from here on
-        _release(own_prev)
+        # the new round is materialized eagerly: the previous round's
+        # blocks/files are dead weight from here on. The handle releases
+        # ONLY what this loop created — ownership is read off the returned
+        # frame's own LogicalRDD, never inferred from a global persistent-
+        # RDD diff that could swallow a concurrent query's checkpoint.
+        release_materialized(spark, own_prev)
         own_prev = own_new
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
@@ -346,11 +370,91 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     else:
         # wrong keepers are worse than a failed job: a cluster whose graph
         # diameter exceeds max_iter would silently keep non-minimal labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-            " (a duplicate chain longer than max_iter?); raise max_iter"
-        )
+        raise _cc_nonconverged(max_iter)
     return labels.select("doc_id", F.col("label").alias("keeper"))
+
+
+def _cc_star(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
+    """Alternating large-star / small-star over symmetric edges (src, dst).
+
+    Per Kiveris et al. (SoCC 2014): large-star hangs every node's LARGER
+    neighbors off the minimum of its closed neighborhood; small-star does
+    the same for the smaller-or-equal side after orienting edges toward the
+    smaller endpoint. Both preserve connectivity exactly, and the alternation
+    contracts every component to a single star rooted at its minimum node in
+    O(log n) rounds — immune to the chain-shaped graphs that cost min-label
+    propagation O(diameter) rounds. Primitives per round are the same as
+    minlabel's (one join + one groupBy each), so the 100 TB shuffle story is
+    unchanged; only the ROUND COUNT improves.
+
+    Convergence check is exact, not a fingerprint: a canonical edge set
+    (u > v) is a star forest iff no edge's target is another edge's source
+    (left_semi on v == u, limit-1 count). Connectivity preservation makes
+    "star forest" equivalent to "every component is one star rooted at its
+    min", at which point both operations are no-ops."""
+    from calamari_spark.plans.common import materialize_tracked, release_materialized
+
+    # canonical orientation: u = larger endpoint, v = smaller
+    und, own_prev = materialize_tracked(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    stats["rounds"] = 0
+    for _ in range(max_iter):
+        stats["rounds"] += 1
+        # large-star over the symmetric view: m(x) = min(N(x) ∪ {x});
+        # emit (y, m(x)) for every neighbor y > x
+        sym = und.select("u", "v").union(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_large, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        # small-star over larger-endpoint orientation: all of a's listed
+        # neighbors are < a, so m(a) = min neighbor; re-hang them (and a)
+        # off m(a)
+        canon = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        m_small = canon.groupBy("u").agg(F.min("v").alias("m"))
+        new_und, own_new = materialize_tracked(
+            canon.join(m_small, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .union(m_small.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+        release_materialized(spark, own_prev)
+        own_prev = own_new
+        und = new_und
+        # exact star-forest test: converged iff no target is also a source
+        chained = (
+            und.join(
+                und.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+            )
+            .limit(1)
+            .count()
+        )
+        if chained == 0:
+            break
+    else:
+        raise _cc_nonconverged(max_iter)
+    roots = und.select(F.col("v").alias("doc_id")).distinct()
+    return (
+        und.select(F.col("u").alias("doc_id"), F.col("v").alias("keeper"))
+        .union(roots.withColumn("keeper", F.col("doc_id")))
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

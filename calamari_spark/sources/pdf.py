@@ -47,6 +47,20 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def _pdf_string(s: str) -> str:
+    """PDF text-string operand for ``s``: a Latin-1 literal string when the
+    text is PDFDocEncoding-clean, else a UTF-16BE hex string with the
+    FEFF BOM (ISO 32000-1 §7.9.2.2) — the spec's own mechanism for
+    arbitrary Unicode. The old encode('latin-1', 'replace') silently
+    mangled non-Latin-1 text to '?', which would have broken q_pdf_extract's
+    oracle parity on any Unicode corpus (ADVICE r4)."""
+    try:
+        s.encode("latin-1")
+    except UnicodeEncodeError:
+        return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
+    return f"({_escape(s)})"
+
+
 def _scramble(n: int) -> List[int]:
     """Deterministic permutation of range(n): odd indices first, then even,
     each group reversed — guarantees stream order != reading order for
@@ -62,9 +76,11 @@ def make_pdf(lines: List[str]) -> bytes:
     for i in _scramble(len(lines)):
         y = PAGE_TOP_Y - LINE_LEADING * i
         parts.append(
-            f"BT /F1 12 Tf {LEFT_X} {y} Td ({_escape(lines[i])}) Tj ET"
+            f"BT /F1 12 Tf {LEFT_X} {y} Td {_pdf_string(lines[i])} Tj ET"
         )
-    content = "\n".join(parts).encode("latin-1", "replace")
+    # strict: every non-Latin-1 character is already hex-escaped by
+    # _pdf_string, so a failure here is a bug, not data
+    content = "\n".join(parts).encode("latin-1")
 
     objects = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -94,8 +110,18 @@ def make_pdf(lines: List[str]) -> bytes:
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _BT_RE = re.compile(r"BT(.*?)ET", re.S)
 _TD_TJ_RE = re.compile(
-    r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Td\s*\(((?:\\.|[^()\\])*)\)\s*Tj"
+    r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Td\s*"
+    r"(?:\(((?:\\.|[^()\\])*)\)|<([0-9A-Fa-f\s]*)>)\s*Tj"
 )
+
+
+def _decode_hex_string(h: str) -> str:
+    """PDF hex string -> text: UTF-16BE when it carries the FEFF BOM,
+    else PDFDocEncoding (Latin-1 for our writer's subset)."""
+    raw = bytes.fromhex("".join(h.split()))
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be")
+    return raw.decode("latin-1")
 
 
 def extract_text(pdf: bytes) -> List[str]:
@@ -107,7 +133,9 @@ def extract_text(pdf: bytes) -> List[str]:
         body = m.group(1).decode("latin-1")
         for bt in _BT_RE.finditer(body):
             for tm in _TD_TJ_RE.finditer(bt.group(1)):
-                x, y, raw = float(tm.group(1)), float(tm.group(2)), tm.group(3)
-                placed.append((x, y, _unescape(raw)))
+                x, y = float(tm.group(1)), float(tm.group(2))
+                lit, hx = tm.group(3), tm.group(4)
+                text = _unescape(lit) if lit is not None else _decode_hex_string(hx)
+                placed.append((x, y, text))
     placed.sort(key=lambda p: (-p[1], p[0]))
     return [t for _, _, t in placed]

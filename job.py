@@ -103,6 +103,11 @@ def main(argv=None) -> None:
         on_error=args.on_error,
     )
     print(json.dumps(summary))
+    # crash leftovers from materialize(backend="parquet") (normal runs
+    # release per-handle inside the loops that create them)
+    from calamari_spark.plans.common import sweep_materialize_scratch
+
+    sweep_materialize_scratch(spark)
     spark.stop()
 
 

@@ -55,3 +55,40 @@ def test_neardup_bits_scales_with_corpus():
     # occupancy n / 2^bits stays bounded (~4) as n grows
     for n in (10_000, 10**6, 10**9):
         assert n / 2 ** neardup_bits(n) <= 4.01
+
+
+def test_oracle_band_width_formula_matches_python():
+    """The oracle computes bits from count(*) in SQL; it must agree with
+    neardup_bits for every corpus size the oracle's 16-bit pool covers —
+    this is what keeps q_embedding_neardup_lsh engine-parity valid at
+    SFs beyond the 8-bit floor (e.g. sf0.1's 2000 vectors -> 9 bits)."""
+    import duckdb
+
+    from calamari_spark.plans.annplans import (
+        NEARDUP_LSH_BITS,
+        NEARDUP_ORACLE_BITS_MAX,
+        neardup_bits,
+    )
+
+    sql = (
+        f"SELECT n, least({NEARDUP_ORACLE_BITS_MAX}, greatest({NEARDUP_LSH_BITS}, "
+        f"cast(ceil(log2(n)) AS INT) - 2)) AS bits "
+        "FROM (SELECT unnest(?) AS n)"
+    )
+    ns = [1, 2, 500, 1024, 1025, 2000, 2048, 10_000, 100_000, 2**18]
+    got = dict(duckdb.sql(sql, params=[ns]).fetchall())
+    for n in ns:
+        assert got[n] == min(NEARDUP_ORACLE_BITS_MAX, neardup_bits(max(n, 2)))
+
+
+def test_hyperplane_pool_is_prefix_stable_per_band():
+    """Band b's first r planes must not depend on the requested width —
+    the contract that lets the oracle embed the full 16-bit pool and
+    slice, while Spark generates exactly `bits` planes per band."""
+    import numpy as np
+
+    from calamari_spark.plans.annplans import NEARDUP_LSH_BANDS, _hyperplanes
+
+    h8, h12 = _hyperplanes(8), _hyperplanes(12)
+    for b in range(NEARDUP_LSH_BANDS):
+        np.testing.assert_array_equal(h8[b * 8:(b + 1) * 8], h12[b * 12:b * 12 + 8])

@@ -97,3 +97,116 @@ def test_materialize_rejects_unknown_backend(spark):
 
     with _pytest.raises(ValueError, match="backend"):
         materialize(df, backend="ram")
+
+
+def _resolve_star(spark, pairs, max_iter=50, stats=None):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = connected_components(df, max_iter=max_iter, algorithm="star",
+                                stats=stats).collect()
+    return {r["doc_id"]: r["keeper"] for r in rows}
+
+
+def test_star_matches_minlabel_on_basic_graphs(spark):
+    for pairs in ([(1, 2), (2, 3)], [(5, 9), (20, 30), (30, 25)],
+                  [(7, 3), (3, 7)], [(2, 1)]):
+        assert _resolve_star(spark, pairs) == _resolve(spark, pairs)
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n = 60
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _resolve_star(spark, pairs) == _resolve(spark, pairs), trial
+
+
+def test_star_converges_in_log_rounds_on_a_path(spark):
+    """The scale claim made checkable: a 200-node duplicate CHAIN (the
+    templated-pagination crawl artifact) costs min-label propagation
+    ~diameter rounds — it RAISES at max_iter=25 pointing at star — while
+    large-star/small-star contracts it in O(log n) rounds."""
+    import math
+
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(200)]
+    stats = {}
+    got = _resolve_star(spark, chain, stats=stats)
+    assert set(got.values()) == {0} and len(got) == 201
+    assert stats["rounds"] <= 2 * math.log2(201) + 4, stats["rounds"]
+
+    with _pytest.raises(RuntimeError, match="star"):
+        _resolve(spark, chain)  # minlabel: diameter 200 > max_iter 25
+
+
+def test_star_preserves_hot_bucket_star_reduction_clusters(spark):
+    from calamari_spark.plans.dedup import minhash_pairs
+
+    texts = [("doc_%06d" % i, "copy copy copy of the same boilerplate page body text")
+             for i in range(1000)]
+    texts += [("zzz_%03d" % i, f"unique document number {i} with its own words entirely")
+              for i in range(5)]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    capped = minhash_pairs(docs, cap=64).select("doc_a", "doc_b")
+    star = {r["doc_id"]: r["keeper"]
+            for r in connected_components(capped, algorithm="star").collect()}
+    minlabel = {r["doc_id"]: r["keeper"]
+                for r in connected_components(capped).collect()}
+    assert star == minlabel
+    assert sum(1 for k in star.values() if k == "doc_000000") == 1000
+
+
+def test_cc_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(df, algorithm="bfs")
+
+
+def test_parquet_backend_releases_superseded_cc_rounds(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE: under backend=parquet every CC round used to leak one
+    uuid-named corpus-sized table. Now superseded rounds are deleted as the
+    loop advances; at most the FINAL round's table (still referenced by the
+    returned frame) plus the handful of single-shot materializes survive,
+    and sweep_materialize_scratch clears those at session end."""
+    from calamari_spark.plans.common import (
+        BACKEND_ENV,
+        DURABLE_DIR_ENV,
+        sweep_materialize_scratch,
+    )
+
+    monkeypatch.setenv(DURABLE_DIR_ENV, str(tmp_path))
+    monkeypatch.setenv(BACKEND_ENV, "parquet")
+    chain = [(i, i + 1) for i in range(12)]  # diameter forces many rounds
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    stats = {}
+    out = connected_components(df, stats=stats)
+    out.collect()
+    mats = [p for p in tmp_path.iterdir() if p.name.startswith("mat-")]
+    # rounds >= 6; without release this would be ~2 tables per round.
+    # Survivors: the final labels table + nothing else from the loop.
+    assert stats["rounds"] >= 6
+    assert len(mats) <= 2, (stats["rounds"], len(mats))
+    swept = sweep_materialize_scratch(spark)
+    assert swept == len(mats)
+    assert not [p for p in tmp_path.iterdir() if p.name.startswith("mat-")]
+
+
+def test_cc_release_never_touches_foreign_checkpoints(spark):
+    """Round-4 ADVICE: ownership used to be inferred from a global
+    getPersistentRDDs() diff, which could attribute a CONCURRENT query's
+    localCheckpoint to the CC loop and unpersist it (fatal: no lineage
+    fallback). Ownership now comes from the returned frame's own LogicalRDD.
+    Simulate the interleaving: a foreign frame checkpointed before/while CC
+    runs must still be fully readable afterwards."""
+    foreign = spark.range(1000).withColumn("v", F.col("id") * 2).localCheckpoint()
+    df = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                               "doc_a long, doc_b long")
+    connected_components(df).collect()
+    connected_components(df, algorithm="star").collect()
+    assert foreign.count() == 1000
+    assert foreign.agg(F.sum("v")).first()[0] == 999 * 1000

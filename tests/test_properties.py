@@ -182,7 +182,11 @@ def test_augment_variant_deterministic(seed, variant):
 
 _PDF_CHARS = st.text(
     alphabet=st.sampled_from(
-        "abcdefghijklmnopqrstuvwxyz0123456789 ()\\.,:;!?-'\""
+        # Latin-1 literals AND beyond-Latin-1 (Greek, CJK, an astral
+        # emoji) — the latter exercise the UTF-16BE hex-string path the
+        # writer emits per ISO 32000-1 §7.9.2.2 (round-4 ADVICE: the old
+        # latin-1/'replace' encode silently mangled these to '?')
+        "abcdefghijklmnopqrstuvwxyz0123456789 ()\\.,:;!?-'\"éüßΩλ中文🙂"
     ),
     max_size=24,
 )
