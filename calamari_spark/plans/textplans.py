@@ -22,16 +22,63 @@ from calamari_spark.functions.text import (
 from calamari_spark.sources.tables import load_table
 
 
+# Synthetic page chrome for the HTML strip surface (see the HTML section
+# below for the full rationale): defined here because the merged driver row
+# q_strip_regularize exercises the strip on the same scan.
+_PAGE_PRE = (
+    '<html><head><title>doc</title>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p{margin:0}</style></head>"
+    '<body><nav><a href="#">home</a> | <a href="#">about</a></nav>'
+    '<div id="main"><p>'
+)
+_PAGE_POST = (
+    " &amp; trailing &lt;markup&gt;</p></div>"
+    "<aside>related links</aside>"
+    "<footer>&copy; 2026 corpus</footer></body></html>"
+)
+
+
 def q_strip_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate strip: whole-stage-codegen regexp chain; no shuffle at
-    all — this is a pure map over the scan and stays so at 100 TB."""
+    """Boilerplate strip + HTML main-content extraction fused into ONE
+    driver row (same merge pattern as langid riding in q_quality_score):
+    ``clean_text`` attests the reference Strip/space-regularize processors;
+    the page-wrap -> strip round trip attests the north-rule HTML
+    boilerplate strip (functions/text.HTML_BOILERPLATE_RULES) on the same
+    scan — ``main_text`` must recover the article text plus the decoded
+    entity suffix from inside full page chrome. The standalone q_html_strip
+    stays in SHADOW_QUERIES. Whole-stage-codegen regexp chain; no shuffle
+    at all — a pure map over the scan, and stays so at 100 TB."""
+    from calamari_spark.functions.text import html_strip_col
+
     docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    page = F.concat(F.lit(_PAGE_PRE), clean, F.lit(_PAGE_POST))
     return docs.select(
-        "doc_id", _regularized_col(F.col("text")).alias("clean_text")
-    ).orderBy("doc_id")
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(page).alias("n_raw"),
+        html_strip_col(page).alias("main_text"),
+    ).withColumn("n_main", F.length("main_text")).orderBy("doc_id")
 
 
-Q_STRIP_SQL = f"SELECT doc_id, {_REG_SQL} AS clean_text FROM documents ORDER BY doc_id"
+def _strip_regularize_sql() -> str:
+    from calamari_spark.functions.text import html_strip_sql
+
+    pre = _PAGE_PRE.replace("'", "''")
+    post = _PAGE_POST.replace("'", "''")
+    page = f"'{pre}' || {_REG_SQL} || '{post}'"
+    return f"""
+SELECT doc_id,
+       {_REG_SQL} AS clean_text,
+       length({page}) AS n_raw,
+       {html_strip_sql(page)} AS main_text,
+       length({html_strip_sql(page)}) AS n_main
+FROM documents ORDER BY doc_id
+"""
+
+
+Q_STRIP_SQL = _strip_regularize_sql()
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,18 +744,8 @@ TEXT_QUERIES = {
 # entity-encoded trailing markup — and the strip must recover exactly the
 # article text. One rule list (functions/text.HTML_BOILERPLATE_RULES)
 # drives the Catalyst chain, the Python twin, and the DuckDB oracle.
-_PAGE_PRE = (
-    '<html><head><title>doc</title>'
-    '<script type="text/javascript">var x = 1 < 2;</script>'
-    "<style>p{margin:0}</style></head>"
-    '<body><nav><a href="#">home</a> | <a href="#">about</a></nav>'
-    '<div id="main"><p>'
-)
-_PAGE_POST = (
-    " &amp; trailing &lt;markup&gt;</p></div>"
-    "<aside>related links</aside>"
-    "<footer>&copy; 2026 corpus</footer></body></html>"
-)
+# (_PAGE_PRE/_PAGE_POST are defined next to q_strip_regularize, the merged
+# driver row that attests this surface on the board.)
 
 
 def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,6 +110,11 @@ def write_predictions_abbyy(xml_str: str, predictions: dict) -> str:
                     continue
                 for child in list(line):
                     line.remove(child)
+                # a plain-text line stores its content in the element's own
+                # text node, not in children — clear it too or the old text
+                # survives the rewrite prepended to the prediction (caught
+                # by x_abbyy_roundtrip's cross-engine hash)
+                line.text = None
                 tag = f"{{{ns}}}formatting" if ns else "formatting"
                 fmt = ET.SubElement(line, tag)
                 fmt.text = predictions[lid]

@@ -227,14 +227,16 @@ _PAGE_LINE_COLS = [
 ]
 
 
-def read_pagexml(pages: DataFrame) -> DataFrame:
-    """(doc_id, xml) -> one row per text line, parsed in parallel."""
+def read_pagexml(pages: DataFrame, skip_commented: bool = False) -> DataFrame:
+    """(doc_id, xml) -> one row per text line, parsed in parallel.
+    ``skip_commented`` drops lines carrying a ``comments`` attribute
+    (reference: pagexml/reader.py:106-107)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for doc_id, xml_str in zip(b["doc_id"], b["xml"]):
-                for r in parse_page(xml_str):
+                for r in parse_page(xml_str, skip_commented=skip_commented):
                     rows.append({"doc_id": doc_id, **r})
             yield pd.DataFrame(rows, columns=_PAGE_LINE_COLS)
 
