@@ -98,13 +98,20 @@ def greedy_decode(
 
 class PrefixTree:
     """Minimal prefix tree over label sequences for constrained decoding
-    (reference analog: thirdparty/ctcwordbeamsearch/PrefixTree.py)."""
+    (reference analog: thirdparty/ctcwordbeamsearch/PrefixTree.py).
+    ``n_below``/``pr_below`` are annotated by WordLM._build: word count and
+    unigram-probability mass of the subtree — they turn the per-extension
+    completion-mass sums of the word beam from O(subtree) walks into O(1)
+    lookups (at a 50k-word vocabulary the walks made WBS ~linear in vocab
+    size: 1.54 s/line, vs 0.04 s at 1k — scripts/dictscale_evidence.py)."""
 
-    __slots__ = ("children", "is_word")
+    __slots__ = ("children", "is_word", "n_below", "pr_below")
 
     def __init__(self):
         self.children: Dict[int, "PrefixTree"] = {}
         self.is_word = False
+        self.n_below = 0
+        self.pr_below = 0.0
 
     def add(self, labels: Sequence[int]) -> None:
         node = self
@@ -112,13 +119,17 @@ class PrefixTree:
             node = node.children.setdefault(l, PrefixTree())
         node.is_word = True
 
-    def next_labels(self, labels: Sequence[int]) -> Optional[set]:
+    def node_at(self, labels: Sequence[int]) -> Optional["PrefixTree"]:
         node = self
         for l in labels:
             node = node.children.get(l)
             if node is None:
-                return set()
-        return set(node.children.keys())
+                return None
+        return node
+
+    def next_labels(self, labels: Sequence[int]) -> Optional[set]:
+        node = self.node_at(labels)
+        return set(node.children.keys()) if node is not None else set()
 
     def words_below(self, labels: Sequence[int]) -> List[Tuple[int, ...]]:
         """Every complete word under the given prefix (prefix included when
@@ -311,6 +322,23 @@ class WordLM:
         self._vocab = uniq
         for w in uniq:
             self._tree.add([ord(c) for c in w])
+        # annotate subtree word counts + unigram mass (same own-word-first,
+        # sorted-children accumulation order as words_below, so the O(1)
+        # sums replace the walk sums value-for-value up to float assoc.)
+        self._mixed_case = any(w != w.lower() for w in uniq)
+
+        def _annotate(node: PrefixTree, path: str) -> None:
+            n, pr = 0, 0.0
+            if node.is_word:
+                n, pr = 1, self.unigram(path)
+            for l in sorted(node.children):
+                ch = node.children[l]
+                _annotate(ch, path + chr(l))
+                n += ch.n_below
+                pr += ch.pr_below
+            node.n_below, node.pr_below = n, pr
+
+        _annotate(self._tree, "")
         self.non_word_chars = "".join(
             sorted(set(chars) - set(word_chars))
         )
@@ -352,6 +380,39 @@ class WordLM:
             for labels in self._tree.words_below([ord(c) for c in prefix])
         ]
 
+    def unigram_prefix_sum(self, prefix: str) -> float:
+        """sum(unigram(w) for w in next_words(prefix)) as an O(len(prefix))
+        lookup: the mass was pre-accumulated per node at build time. This
+        is the word beam's per-char-extension cost for the FIRST word; the
+        subtree walk it replaces made WBS linear in vocabulary size."""
+        node = self._tree.node_at([ord(c) for c in prefix])
+        return node.pr_below if node is not None else 0.0
+
+    def bigram_prefix_sum(self, w1: str, prefix: str) -> float:
+        """sum(bigram(w1, w) for w in next_words(prefix)) without the full
+        subtree walk: seen successors of w1 contribute their table mass,
+        every other subtree word the constant smoothing fallback — so the
+        cost is min(|seen successors|, |subtree|), independent of |vocab|.
+        A mixed-case vocabulary falls back to the exact walk (the seen
+        table is lowercased; matching it against original-case subtree
+        membership would need a per-node case map nobody's corpus pays
+        for)."""
+        node = self._tree.node_at([ord(c) for c in prefix])
+        if node is None or node.n_below == 0:
+            return 0.0
+        d = self.bigrams.get(w1.lower())
+        if d is None:
+            return 0.0  # bigram() is 0 for every w2 under an unseen w1
+        if self._mixed_case or node.n_below <= len(d):
+            return sum(self.bigram(w1, w) for w in self.next_words(prefix))
+        fallback = self.add_k / (self.unigram(w1) * self.n_unique + self.n_unique)
+        seen_sum, n_seen = 0.0, 0
+        for w2, p in d.items():
+            if w2.startswith(prefix) and self.is_word(w2):
+                seen_sum += p
+                n_seen += 1
+        return seen_sum + (node.n_below - n_seen) * fallback
+
 
 class _WBeam:
     """One word-beam: optical (p_blank, p_non_blank) + textual LM state."""
@@ -383,12 +444,14 @@ def _wbeam_child(beam: _WBeam, lm: WordLM, ch: str, use_ngrams: bool) -> _WBeam:
     if ch in lm.word_chars:
         b.word_dev += ch
         # developing word: score optimistically with the total probability
-        # mass of every dictionary word this prefix can still become
-        nxt = lm.next_words(b.word_dev)
+        # mass of every dictionary word this prefix can still become —
+        # served as precomputed subtree sums, NOT a subtree walk (the walk
+        # made each beam extension O(|vocab|/sigma^|prefix|): ~linear in
+        # vocabulary size overall, 37x slower at 50k words than 1k)
         if not b.word_hist:
-            pr_sum = sum(lm.unigram(w) for w in nxt)
+            pr_sum = lm.unigram_prefix_sum(b.word_dev)
         else:
-            pr_sum = sum(lm.bigram(b.word_hist[-1], w) for w in nxt)
+            pr_sum = lm.bigram_prefix_sum(b.word_hist[-1], b.word_dev)
         b.pr_lm = b.pr_unnorm * pr_sum
         n = len(b.word_hist)
         if n >= 1:

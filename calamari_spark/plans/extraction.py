@@ -1096,12 +1096,21 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = explode_spans(docs).filter(F.col("kind") == "media").select("media_ref")
     with_png = spans.join(media.select("media_ref", "png", "width"), "media_ref")
     # width bucketing: sort by width within partitions so each Arrow batch
-    # pads to a similar max length — the reference's bucket_boundaries
-    # length bucketing (data.py:88-92, test_prediction.py:209-213); padding
-    # waste is the CNN path's dominant cost at mixed line widths
+    # holds few distinct padded lengths — the reference's bucket_boundaries
+    # length bucketing (data.py:88-92, test_prediction.py:209-213). The
+    # kernel below forwards per padded-length GROUP (correctness requires
+    # batch-composition independence), so the sort's win is GROUP SIZE: few
+    # big GEMMs instead of many one-line ones (measured A/B: BASELINE.md
+    # width-bucketing section, scripts/bucket_evidence.py)
     n_part = spark.sparkContext.defaultParallelism * 2
     with_png = with_png.repartition(n_part, "media_ref").sortWithinPartitions("width")
+    return _extract_cnn_over(with_png).orderBy("media_ref")
 
+
+def _extract_cnn_over(with_png: DataFrame) -> DataFrame:
+    """The CNN ensemble kernel over a prepared (media_ref, png, width)
+    frame — split out so the bucketing A/B (scripts/bucket_evidence.py) can
+    run the identical kernel minus the width sort."""
     schema = "media_ref string, sentence string, out_len int, n_frames int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1156,7 +1165,7 @@ def x_extract_cnn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_ref", "sentence", "out_len", "n_frames"])
 
-    return with_png.mapInPandas(run, schema=schema).orderBy("media_ref")
+    return with_png.mapInPandas(run, schema=schema)
 
 
 def x_extract_cnn_oracle(sf_dir: str) -> str:

@@ -156,3 +156,94 @@ def test_initial_words_thread_bigram_scoring_into_the_beam():
         word_beam_decode(mat_cls, chars, lm, use_ngrams=True, initial_words=("the",))
         == "cat"
     )
+
+
+def test_prefix_sums_match_the_subtree_walk_exactly():
+    """unigram_prefix_sum / bigram_prefix_sum are the O(1)/O(successors)
+    replacements for the per-extension subtree walks that made WBS linear
+    in vocabulary size (scripts/dictscale_evidence.py: 37x slower at 50k
+    words than 1k). They must agree with the walk on every prefix."""
+    import math
+    import random
+
+    from calamari_spark.operators.ctc import WordLM
+
+    rng = random.Random(7)
+    words = {"".join(rng.choice("abcd") for _ in range(rng.randint(1, 6))):
+             float(rng.randint(1, 50)) for _ in range(300)}
+    bigs = {}
+    ws = sorted(words)
+    for _ in range(400):
+        bigs[(rng.choice(ws), rng.choice(ws))] = float(rng.randint(1, 9))
+    lm = WordLM.from_counts(words, "abcd ", "abcd", bigram_counts=bigs)
+
+    prefixes = [""] + [w[:k] for w in ws[:60] for k in range(1, len(w) + 1)]
+    prefixes += ["zz", "abcdq"]  # absent subtrees -> 0 mass
+    for p in prefixes:
+        nxt = lm.next_words(p)
+        assert math.isclose(
+            lm.unigram_prefix_sum(p), sum(lm.unigram(w) for w in nxt),
+            rel_tol=1e-12, abs_tol=1e-300,
+        ), p
+        for w1 in ws[:25] + ["notavocabword"]:
+            assert math.isclose(
+                lm.bigram_prefix_sum(w1, p),
+                sum(lm.bigram(w1, w) for w in nxt),
+                rel_tol=1e-12, abs_tol=1e-300,
+            ), (w1, p)
+
+
+def test_mixed_case_vocab_prefix_sums_still_exact():
+    """Case-variant vocab words force the exact-walk fallback in
+    bigram_prefix_sum; results must still equal the walk."""
+    import math
+
+    from calamari_spark.operators.ctc import WordLM
+
+    words = {"Cat": 3.0, "cat": 2.0, "car": 5.0, "dog": 1.0}
+    bigs = {("dog", "Cat"): 2.0, ("dog", "car"): 1.0}
+    lm = WordLM.from_counts(
+        words, "CARcartdog ", "CARcartdog".replace(" ", ""),
+        bigram_counts=bigs,
+    )
+    for p in ("", "c", "C", "ca", "Cat"):
+        nxt = lm.next_words(p)
+        assert math.isclose(
+            lm.unigram_prefix_sum(p), sum(lm.unigram(w) for w in nxt),
+            rel_tol=1e-12, abs_tol=1e-300,
+        ), p
+        assert math.isclose(
+            lm.bigram_prefix_sum("dog", p),
+            sum(lm.bigram("dog", w) for w in nxt),
+            rel_tol=1e-12, abs_tol=1e-300,
+        ), p
+
+
+def test_wbs_decodes_gt_word_under_distractor_load():
+    """2000 deterministic distractor words must not change the decoded
+    word when the GT word outranks them (the dictscale evidence claim,
+    pytest-sized)."""
+    import random
+
+    import numpy as np
+
+    from calamari_spark.operators.ctc import WordLM, word_beam_decode
+
+    charset = "abcdefghijklmnopqrstuvwxyz"
+    gt = "spark"
+    rng = random.Random(42)
+    counts = {gt: 1000.0}
+    while len(counts) < 2000:
+        w = "".join(rng.choice(charset) for _ in range(rng.randint(3, 8)))
+        counts.setdefault(w, float(rng.randint(1, 5)))
+    lm = WordLM.from_counts(counts, charset + " ", charset)
+
+    decoder_charset = list(charset + " ")  # blank is the LAST column
+    cols = {c: i for i, c in enumerate(decoder_charset)}
+    T = 2 * len(gt)
+    mat = np.full((T, len(decoder_charset) + 1), 1e-9)
+    for i, ch in enumerate(gt):
+        mat[2 * i, cols[ch]] = 0.95      # char frame
+        mat[2 * i + 1, len(decoder_charset)] = 0.95  # blank frame between
+    mat /= mat.sum(axis=1, keepdims=True)
+    assert word_beam_decode(mat, decoder_charset, lm, beam_width=10) == gt
