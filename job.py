@@ -49,6 +49,13 @@ def main(argv=None) -> None:
                         "storage) — set 'reliable' or 'parquet' plus "
                         "CALAMARI_SPARK_DURABLE_DIR on shared storage for "
                         "clusters with executor decommissioning")
+    p.add_argument("--cc-algorithm", choices=["minlabel", "star"], default=None,
+                   help="connected-components backend for dedup cluster "
+                        "resolution: minlabel (O(graph diameter) rounds; "
+                        "the oracle-checked default) or star (alternating "
+                        "large-star/small-star, O(log n) rounds — the "
+                        "at-scale setting for graphs with long duplicate "
+                        "chains)")
     p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
                    help="per-record failure policy: fail the job (strict) or "
                         "quarantine the record (NULL span text + n_failed "
@@ -69,6 +76,13 @@ def main(argv=None) -> None:
         from calamari_spark.plans.common import BACKEND_ENV
 
         os.environ[BACKEND_ENV] = args.materialize_backend
+
+    if args.cc_algorithm:
+        import os
+
+        from calamari_spark.plans.dedup import CC_ALGORITHM_ENV
+
+        os.environ[CC_ALGORITHM_ENV] = args.cc_algorithm
 
     from pyspark.sql import SparkSession
 
