@@ -1,0 +1,329 @@
+"""Training-data-pipeline operators beyond the reference's own surface:
+benchmark decontamination, repetition-based quality filters, and greedy
+sequence packing. Each is an oracled query over the `documents` table —
+cross-engine checked under the driver's exact compare semantics by
+`tests/test_oracle_parity.py` (SHADOW: the driver board is capped at 50).
+
+At 100 TB these are the shapes that matter:
+
+* decontamination — the benchmark n-gram set is TINY next to the corpus
+  (thousands of eval documents vs 10^12 training docs), so the join MUST
+  broadcast: one map-side hash probe per shingle, zero shuffle of the
+  corpus. The plan test asserts the BroadcastHashJoin.
+* repetition stats — per-document aggregates keyed by (doc_id, gram):
+  partial aggregation (map-side combine) collapses each document's grams
+  inside its partition before any exchange, so shuffle volume is
+  O(distinct grams per doc), not O(words).
+* sequence packing — inherently sequential WITHIN a pack stream, so the
+  stream is sharded: documents hash into N_PACK_BUCKETS independent
+  streams packed in parallel (applyInPandas, one shuffle on the bucket
+  key). On a real cluster N_PACK_BUCKETS scales with executors; the
+  per-bucket greedy loop touches each row once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calamari_spark.functions.text import REG_SPACES_SQL as _REG_SQL
+from calamari_spark.functions.text import regularized_spaces_col as _regularized_col
+from calamari_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (13-gram overlap)
+# ---------------------------------------------------------------------------
+# A training corpus must not contain eval-benchmark text. The standard
+# check (e.g. GPT-3 appendix C / PaLM) is n-gram overlap: a document is
+# contaminated if it shares an N-gram (N=13 words) with the benchmark set.
+# The corpus has no benchmark table, so one is DERIVED deterministically:
+# every doc with doc_id % 97 == 0 contributes its first 13 regularized
+# words as one benchmark gram (those docs are guaranteed hits, so the
+# query attests both the positive and the zero-hit path).
+
+CONTAM_N = 13           # words per overlap gram (the published setting)
+CONTAM_BENCH_MOD = 97   # doc_id % 97 == 0 -> benchmark member
+
+
+def _words(col):
+    return F.split(_regularized_col(col), " ")
+
+
+def _word_grams(w, n: int):
+    """All n-word shingles of word array `w` as space-joined strings;
+    empty array when the document is shorter than n words (F.sequence
+    would otherwise DESCEND for start > stop and fabricate shingles)."""
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document benchmark-overlap count + contaminated flag.
+
+    Plan: corpus shingles explode map-side; the benchmark gram set (small
+    by construction) broadcasts, so the probe is shuffle-free for the
+    corpus; one partial-agg groupBy(doc_id) counts hits; a final broadcast
+    left-join restores zero-hit documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = _words(F.col("text"))
+
+    bench = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(CONTAM_BENCH_MOD)) == 0)
+        .select(F.concat_ws(" ", F.slice(w, 1, CONTAM_N)).alias("gram"))
+        .distinct()
+    )
+
+    shingles = docs.select(
+        "doc_id", F.explode(_word_grams(w, CONTAM_N)).alias("gram")
+    )
+    hits = (
+        shingles.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(w[1:{CONTAM_N}], ' ') AS gram
+  FROM w WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(
+           w[CAST(u.i AS BIGINT):CAST(u.i AS BIGINT)+{CONTAM_N - 1}],
+           ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(w) - {CONTAM_N - 2}, 1))) AS u(i)
+),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_hits
+  FROM sh JOIN bench USING (gram)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality stats (Gopher-style filters)
+# ---------------------------------------------------------------------------
+# The Gopher/MassiveText quality rules flag documents dominated by
+# repetition: the fraction of duplicated lines and the share of the text
+# covered by its most frequent word bigram. The corpus has no newlines,
+# so "lines" are the deterministic 8-word split every container query
+# uses. Exact integer numerators/denominators ride along with the
+# fraction so the cross-engine hash is anchored on integers.
+
+REP_LINE_WORDS = 8
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = _words(F.col("text"))
+    n_lines = F.ceil(F.size(w) / F.lit(REP_LINE_WORDS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * REP_LINE_WORDS + 1, REP_LINE_WORDS)
+        ),
+    )
+
+    # dup-line fraction: share of lines whose text occurs more than once
+    # in the same document. groupBy(doc_id, line) partial-aggregates
+    # map-side; the per-doc rollup is a second partial agg.
+    line_counts = (
+        docs.select("doc_id", F.explode(lines).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+    )
+    line_stats = line_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_lines"
+        ),
+    )
+
+    # top-bigram fraction: occurrences of the most frequent word bigram
+    # over the total bigram count.
+    bigram_counts = (
+        docs.select("doc_id", F.explode(_word_grams(w, 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    bigram_stats = bigram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+
+    return (
+        line_stats.join(bigram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            (F.col("n_dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+            "n_bigrams",
+            "top_bigram_count",
+            (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         array_to_string(
+           w[(CAST(u.i AS BIGINT)*{REP_LINE_WORDS}+1):(CAST(u.i AS BIGINT)*{REP_LINE_WORDS}+{REP_LINE_WORDS})],
+           ' ') AS line
+  FROM w, UNNEST(range(CAST(ceil(len(w)/{REP_LINE_WORDS}.0) AS BIGINT))) AS u(i)
+),
+line_counts AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines
+  FROM line_counts GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id,
+         array_to_string(w[CAST(u.i AS BIGINT):CAST(u.i AS BIGINT)+1], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(w), 1))) AS u(i)
+),
+bigram_counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM bigrams GROUP BY doc_id, gram
+),
+bigram_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bigram_counts GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.n_dup_lines,
+       l.n_dup_lines / l.n_lines AS dup_line_frac,
+       b.n_bigrams, b.top_bigram_count,
+       b.top_bigram_count / b.n_bigrams AS top_bigram_frac
+FROM line_stats l JOIN bigram_stats b ON l.doc_id = b.doc_id
+ORDER BY l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing
+# ---------------------------------------------------------------------------
+# Training consumes fixed-length sequences; short documents are PACKED
+# back-to-back up to a token target. Packing is sequential within a
+# stream, so the corpus shards into independent streams (doc_id hash ->
+# bucket) packed in parallel. The greedy rule, identical in both engines:
+# docs in doc_id order; a doc that would overflow the target starts a new
+# sequence at offset 0. The DuckDB oracle replays the same fold with a
+# recursive CTE — the cross-engine hash therefore attests the SEQUENTIAL
+# semantics of the applyInPandas kernel, not just row values.
+
+PACK_TARGET = 512     # tokens per packed sequence
+N_PACK_BUCKETS = 8    # independent pack streams (executor-count scaled in prod)
+PACK_SCHEMA = "doc_id long, bucket int, seq_no int, offset int, n_tokens int"
+
+
+def pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy pack of ONE bucket's docs (doc_id order): a doc that would
+    overflow PACK_TARGET starts a new sequence at offset 0. Applied per
+    bucket via applyInPandas; the DuckDB recursive CTE replays the same
+    fold, so the cross-engine hash attests these sequential semantics."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq_no, fill = 0, 0
+    seqs, offs = [], []
+    for i, n in enumerate(pdf["n_tokens"]):
+        n = int(n)
+        if i > 0 and fill + n > PACK_TARGET:
+            seq_no += 1
+            fill = 0
+        seqs.append(seq_no)
+        offs.append(fill)
+        fill += n
+    out = pdf[["doc_id", "bucket", "n_tokens"]].copy()
+    out["seq_no"] = pd.Series(seqs, dtype="int32")
+    out["offset"] = pd.Series(offs, dtype="int32")
+    return out[["doc_id", "bucket", "seq_no", "offset", "n_tokens"]]
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).cast("int").alias("bucket"),
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+    )
+
+    return (
+        toks.groupBy("bucket")
+        .applyInPandas(pack_kernel, PACK_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+Q_PACK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(doc_id % {N_PACK_BUCKETS} AS INT) AS bucket,
+         CAST(len(string_split({_REG_SQL}, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY doc_id % {N_PACK_BUCKETS} ORDER BY doc_id
+         ) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens, rn,
+         0 AS seq_no, 0 AS "offset", n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.bucket, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens > {PACK_TARGET}
+              THEN p.seq_no + 1 ELSE p.seq_no END,
+         CASE WHEN p.fill + t.n_tokens > {PACK_TARGET}
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill + t.n_tokens > {PACK_TARGET}
+              THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM packed p JOIN toks t ON t.bucket = p.bucket AND t.rn = p.rn + 1
+)
+SELECT doc_id, bucket, CAST(seq_no AS INT) AS seq_no,
+       CAST("offset" AS INT) AS "offset", n_tokens
+FROM packed ORDER BY doc_id
+"""
+
+
+PIPELINE_SHADOW_QUERIES = {
+    "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
+    "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
+    "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
+}
