@@ -79,3 +79,47 @@ def test_pack_overflow_doc_starts_new_sequence(spark):
     # doc 0 (600 tokens) owns seq 0 alone; docs 8 and 16 pack into seq 1
     assert list(res.seq_no) == [0, 1, 1]
     assert list(res.offset) == [0, 0, 10]
+
+def test_pack_kernel_invariants_random():
+    """Property test: for ANY token-length multiset, the greedy pack is
+    target-respecting (no sequence over PACK_TARGET unless one doc alone
+    is), dense (a new sequence starts only on overflow), and offsets are
+    the exclusive running sums."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from calamari_spark.plans.pipelineplans import PACK_TARGET, pack_kernel
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60))
+    def run(lengths):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(lengths)),
+                "bucket": [0] * len(lengths),
+                "n_tokens": lengths,
+            }
+        )
+        out = pack_kernel(pdf)
+        fills = out.groupby("seq_no")["n_tokens"].sum()
+
+        sizes = out.groupby("seq_no")["n_tokens"].count()
+        # target respected unless a single doc alone overflows
+        for s in fills.index:
+            assert fills[s] <= PACK_TARGET or sizes[s] == 1, (s, fills[s], sizes[s])
+        # dense: each sequence after the first begins because the previous
+        # could not fit its first doc
+        seq_first = out.groupby("seq_no").first()
+        prev_fill = None
+        for s in sorted(fills.index):
+            if prev_fill is not None:
+                assert prev_fill + seq_first.loc[s, "n_tokens"] > PACK_TARGET
+            prev_fill = fills[s]
+        # offsets are exclusive running sums
+        for s, g in out.groupby("seq_no"):
+            run_sum = 0
+            for _, r in g.sort_values("doc_id").iterrows():
+                assert r["offset"] == run_sum
+                run_sum += r["n_tokens"]
+
+    run()
