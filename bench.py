@@ -157,8 +157,9 @@ def _canary_gate(spark) -> dict:
         print(f"bench: canary {t}s exceeds band {CANARY_BAND_S}s "
               f"(attempt {k + 1}/{CANARY_ATTEMPTS}); cooling down",
               file=sys.stderr)
-        time.sleep(30)
-        _idle_gate(max_wait_s=120)
+        if k < CANARY_ATTEMPTS - 1:  # no point cooling down after the last
+            time.sleep(30)
+            _idle_gate(max_wait_s=120)
     return {"query": CANARY_QUERY, "time_s": attempts[-1], "band_s": CANARY_BAND_S,
             "attempts": attempts, "degraded": True}
 
@@ -257,13 +258,20 @@ def main() -> None:
     # instead of recomputing the corpus
     from calamari_spark.plans.common import BACKEND_ENV
 
+    # restore the caller's backend afterwards — popping unconditionally
+    # would silently flip an exported CALAMARI_SPARK_MATERIALIZE=parquet
+    # run back to "local" for the data-scale section and its child process
+    prior_backend = os.environ.get(BACKEND_ENV)
     os.environ[BACKEND_ENV] = "reliable"
     try:
         t_rel = run_queries(spark, ["q_dedup_clusters"], SF_DIR).get(
             "q_dedup_clusters"
         )
     finally:
-        os.environ.pop(BACKEND_ENV, None)
+        if prior_backend is None:
+            os.environ.pop(BACKEND_ENV, None)
+        else:
+            os.environ[BACKEND_ENV] = prior_backend
     t_local = times.get("q_dedup_clusters")
     out["durable"] = {
         "query": "q_dedup_clusters",

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -119,7 +120,11 @@ def materialize_tracked(
         path = ckpt.get() if ckpt.isDefined() else None
         return out, MatHandle("reliable", path=path)
     # parquet: one durable intermediate per call, unique path
-    path = os.path.join(_durable_dir(spark), f"mat-{uuid.uuid4().hex}")
+    # application id in the name: the end-of-job sweep must be able to
+    # tell THIS job's scratch from a concurrently running job's (two jobs
+    # sharing one durable root is the documented cluster configuration)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    path = os.path.join(_durable_dir(spark), f"mat-{app}-{uuid.uuid4().hex}")
     df.write.parquet(path)
     return spark.read.parquet(path), MatHandle("parquet", path=path)
 
@@ -146,23 +151,42 @@ def release_materialized(spark, handle: MatHandle | None) -> None:
         pass
 
 
-def sweep_materialize_scratch(spark) -> int:
+SWEEP_FOREIGN_MIN_AGE_S = 24 * 3600
+
+
+def sweep_materialize_scratch(
+    spark, foreign_min_age_s: int = SWEEP_FOREIGN_MIN_AGE_S
+) -> int:
     """Session-end sweep of mat-* parquet scratch dirs under the durable
     root (crash leftovers; normal runs release per-handle). Returns the
-    number of dirs removed. Only touches the ``mat-<hex>`` naming this
-    module creates — never checkpoint dirs, which Spark cleans itself when
-    spark.cleaner.referenceTracking.cleanCheckpoints is set."""
+    number of dirs removed. Only touches the ``mat-…`` naming this module
+    creates — never checkpoint dirs, which Spark cleans itself when
+    spark.cleaner.referenceTracking.cleanCheckpoints is set.
+
+    Ownership guard: dirs carry the creating job's application id, and
+    the sweep deletes (a) THIS application's dirs unconditionally and
+    (b) foreign dirs only once they are older than ``foreign_min_age_s``
+    (default 24 h — standard TTL garbage collection). An unconditional
+    sweep would delete the in-flight intermediates of a concurrently
+    running job sharing the durable root, failing its next read
+    mid-query."""
     root = _durable_dir(spark)
     sc = spark.sparkContext
+    own = f"mat-{sc.applicationId.replace('-', '_')}-"
     try:
         jpath = sc._jvm.org.apache.hadoop.fs.Path(root)
         fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
         if not fs.exists(jpath):
             return 0
+        now_ms = int(time.time() * 1000)
         removed = 0
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
-            if name.startswith("mat-") and len(name) == 4 + 32:
+            if not name.startswith("mat-"):
+                continue
+            is_own = name.startswith(own)
+            old = now_ms - st.getModificationTime() >= foreign_min_age_s * 1000
+            if is_own or old:
                 fs.delete(st.getPath(), True)
                 removed += 1
         return removed

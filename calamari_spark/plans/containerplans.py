@@ -34,37 +34,32 @@ from pyspark.sql import functions as F
 
 from calamari_spark.functions.text import REG_SPACES_SQL as _REG_SQL
 from calamari_spark.functions.text import regularized_spaces_col as _regularized_col
+from calamari_spark.plans.docsplit import WORDS_PER_LINE, lines_col, lines_cte
 from calamari_spark.sources.tables import load_table
-
-WORDS_PER_LINE = 8  # same split as q_pdf_extract, shared oracle shape
 
 
 def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lines array<string>): regularized text split into 8-word
-    lines — the deterministic page content both containers render."""
+    lines — the deterministic page content both containers render.
+
+    Empty-text documents are excluded (mirrored by the WHERE in
+    _LINES_CTE): an empty doc would render one empty line, and the Abbyy
+    rescan's itertext().strip() reads the stored 'PRED: ' back as 'PRED:'
+    while the string oracle keeps the trailing space — a latent
+    cross-engine mismatch on any corpus containing a blank document."""
     from calamari_spark.plans.common import fan_out
 
-    docs = load_table(spark, "documents", sf_dir)
-    w = F.split(_regularized_col(F.col("text")), " ")
-    n_lines = F.ceil(F.size(w) / F.lit(WORDS_PER_LINE)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * WORDS_PER_LINE + 1, WORDS_PER_LINE)
-        ),
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length(_regularized_col(F.col("text"))) > 0
     )
+    w = F.split(_regularized_col(F.col("text")), " ")
     # fan_out: XML render + two parse passes are the per-row kernels
-    return fan_out(docs, "doc_id").select("doc_id", lines.alias("lines"))
+    return fan_out(docs, "doc_id").select(
+        "doc_id", lines_col(w).alias("lines")
+    )
 
 
-_LINES_CTE = f"""
-  SELECT doc_id, CAST(u.i AS INT) AS line_no,
-         array_to_string(
-           w[(CAST(u.i AS BIGINT)*{WORDS_PER_LINE}+1):(CAST(u.i AS BIGINT)*{WORDS_PER_LINE}+{WORDS_PER_LINE})],
-           ' ') AS line
-  FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents),
-       UNNEST(range(CAST(ceil(len(w)/{WORDS_PER_LINE}.0) AS BIGINT))) AS u(i)
-"""
+_LINES_CTE = lines_cte(_REG_SQL, where=f"length({_REG_SQL}) > 0")
 
 
 # ---------------------------------------------------------------------------

@@ -388,10 +388,16 @@ def _cc_star(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
     unchanged; only the ROUND COUNT improves.
 
     Convergence check is exact, not a fingerprint: a canonical edge set
-    (u > v) is a star forest iff no edge's target is another edge's source
-    (left_semi on v == u, limit-1 count). Connectivity preservation makes
-    "star forest" equivalent to "every component is one star rooted at its
-    min", at which point both operations are no-ops."""
+    (u > v) is a star forest iff (a) no edge's target is another edge's
+    source (no chains; left_semi on v == u, limit-1 count) AND (b) no
+    source appears with two targets (the edge set is a FUNCTION u ->
+    parent; groupBy count > 1, limit-1 count). (b) is NOT implied by (a):
+    {(5,1),(5,2),...} has no chains yet still bridges roots 1 and 2
+    through node 5 — declaring convergence there split one component into
+    two clusters and emitted node 5 twice (caught by review; regression
+    test test_star_two_parent_regression). With both holds, connectivity
+    preservation makes "star forest" equivalent to "every component is one
+    star rooted at its min", at which point both operations are no-ops."""
     from calamari_spark.plans.common import materialize_tracked, release_materialized
 
     # canonical orientation: u = larger endpoint, v = smaller
@@ -438,7 +444,10 @@ def _cc_star(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
         release_materialized(spark, own_prev)
         own_prev = own_new
         und = new_und
-        # exact star-forest test: converged iff no target is also a source
+        # exact star-forest test: no target is also a source AND every
+        # source has exactly one target (see docstring; the second check
+        # only runs when the first passes — Python `and` short-circuits,
+        # so the common not-yet-converged round costs one job as before)
         chained = (
             und.join(
                 und.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
@@ -446,7 +455,14 @@ def _cc_star(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
             .limit(1)
             .count()
         )
-        if chained == 0:
+        if chained == 0 and (
+            und.groupBy("u")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
+            == 0
+        ):
             break
     else:
         raise _cc_nonconverged(max_iter)

@@ -68,8 +68,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: corpus shingles explode map-side; the benchmark gram set (small
     by construction) broadcasts, so the probe is shuffle-free for the
-    corpus; one partial-agg groupBy(doc_id) counts hits; a final broadcast
-    left-join restores zero-hit documents."""
+    corpus; one partial-agg groupBy(doc_id) counts hits. The zero-hit
+    restore is a plain doc_id-keyed left join — `hits` is O(contaminated
+    docs), which is corpus-scaled in the worst case (here >=1% by
+    construction), so broadcasting it would collect a corpus-sized table
+    to the driver at 10^12 docs; only `bench` is broadcastable."""
     docs = load_table(spark, "documents", sf_dir)
     w = _words(F.col("text"))
 
@@ -89,7 +92,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
@@ -134,22 +137,17 @@ ORDER BY d.doc_id
 # repetition: the fraction of duplicated lines and the share of the text
 # covered by its most frequent word bigram. The corpus has no newlines,
 # so "lines" are the deterministic 8-word split every container query
-# uses. Exact integer numerators/denominators ride along with the
-# fraction so the cross-engine hash is anchored on integers.
-
-REP_LINE_WORDS = 8
+# uses (plans/docsplit.py — ONE shared helper, not a hand-kept copy).
+# Exact integer numerators/denominators ride along with the fraction so
+# the cross-engine hash is anchored on integers.
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calamari_spark.plans.docsplit import lines_col
+
     docs = load_table(spark, "documents", sf_dir)
     w = _words(F.col("text"))
-    n_lines = F.ceil(F.size(w) / F.lit(REP_LINE_WORDS)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * REP_LINE_WORDS + 1, REP_LINE_WORDS)
-        ),
-    )
+    lines = lines_col(w)
 
     # dup-line fraction: share of lines whose text occurs more than once
     # in the same document. groupBy(doc_id, line) partial-aggregates
@@ -178,15 +176,21 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_bigram_count"),
     )
 
+    # left join: a document shorter than 2 words has lines but ZERO
+    # bigrams — an inner join would silently drop it from the quality
+    # report (and the oracle would agree, so parity could never catch the
+    # hole). Such docs carry n_bigrams=0 and a NULL top_bigram_frac.
     return (
-        line_stats.join(bigram_stats, "doc_id")
+        line_stats.join(bigram_stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_lines",
             "n_dup_lines",
             (F.col("n_dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
-            "n_bigrams",
-            "top_bigram_count",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias(
+                "top_bigram_count"
+            ),
             (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
                 "top_bigram_frac"
             ),
@@ -195,16 +199,15 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_REPETITION_SQL = f"""
+def _repetition_sql() -> str:
+    from calamari_spark.plans.docsplit import lines_cte
+
+    return f"""
 WITH w AS (
   SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents
 ),
 lines AS (
-  SELECT doc_id,
-         array_to_string(
-           w[(CAST(u.i AS BIGINT)*{REP_LINE_WORDS}+1):(CAST(u.i AS BIGINT)*{REP_LINE_WORDS}+{REP_LINE_WORDS})],
-           ' ') AS line
-  FROM w, UNNEST(range(CAST(ceil(len(w)/{REP_LINE_WORDS}.0) AS BIGINT))) AS u(i)
+  SELECT doc_id, line FROM ({lines_cte(_REG_SQL)})
 ),
 line_counts AS (
   SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
@@ -231,11 +234,15 @@ bigram_stats AS (
 )
 SELECT l.doc_id, l.n_lines, l.n_dup_lines,
        l.n_dup_lines / l.n_lines AS dup_line_frac,
-       b.n_bigrams, b.top_bigram_count,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
        b.top_bigram_count / b.n_bigrams AS top_bigram_frac
-FROM line_stats l JOIN bigram_stats b ON l.doc_id = b.doc_id
+FROM line_stats l LEFT JOIN bigram_stats b ON l.doc_id = b.doc_id
 ORDER BY l.doc_id
 """
+
+
+Q_REPETITION_SQL = _repetition_sql()
 
 
 # ---------------------------------------------------------------------------

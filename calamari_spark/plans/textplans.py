@@ -785,27 +785,18 @@ FROM documents ORDER BY doc_id
 # expected 8-words-per-line split with string ops only, so the whole
 # render->parse round trip (escaping, xref, stream parse, layout sort) is
 # what the hash attests.
-PDF_WORDS_PER_LINE = 8
-
-
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typing import Iterator
 
     import pandas as pd
 
     from calamari_spark.plans.common import fan_out
+    from calamari_spark.plans.docsplit import lines_col
 
     docs = load_table(spark, "documents", sf_dir)
     w = F.split(_regularized_col(F.col("text")), " ")
-    n_lines = F.ceil(F.size(w) / F.lit(PDF_WORDS_PER_LINE)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * PDF_WORDS_PER_LINE + 1, PDF_WORDS_PER_LINE)
-        ),
-    )
     # fan_out: the render+parse round trip is the expensive per-row kernel
-    src = fan_out(docs, "doc_id").select("doc_id", lines.alias("lines"))
+    src = fan_out(docs, "doc_id").select("doc_id", lines_col(w).alias("lines"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from calamari_spark.sources.pdf import make_pdf
@@ -835,15 +826,17 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_PDF_SQL = f"""
-SELECT doc_id, CAST(u.i AS INT) AS line_no,
-       array_to_string(
-         w[(CAST(u.i AS BIGINT)*{PDF_WORDS_PER_LINE}+1):(CAST(u.i AS BIGINT)*{PDF_WORDS_PER_LINE}+{PDF_WORDS_PER_LINE})],
-         ' ') AS line
-FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents),
-     UNNEST(range(CAST(ceil(len(w)/{PDF_WORDS_PER_LINE}.0) AS BIGINT))) AS u(i)
+def _pdf_sql() -> str:
+    from calamari_spark.plans.docsplit import lines_cte
+
+    return f"""
+SELECT doc_id, line_no, line
+FROM ({lines_cte(_REG_SQL)})
 ORDER BY doc_id, line_no
 """
+
+
+Q_PDF_SQL = _pdf_sql()
 
 
 # Link extraction — the DOM parse's other output (a web-extraction

@@ -187,3 +187,35 @@ def test_str_to_char_list():
     assert str_to_char_list("aab", ["a", "aa", "b"]) == ["aa", "b"]
     with pytest.raises(ValueError):
         str_to_char_list("xyz", ["a", "b"])
+
+
+def test_container_roundtrips_skip_blank_documents(spark, tmp_path):
+    """Review-caught latent mismatch: a blank document rendered one empty
+    line, and the Abbyy rescan's itertext().strip() read the stored
+    'PRED: ' back as 'PRED:' while the string oracle kept the trailing
+    space. Blank docs are now excluded from the synthesized pages in BOTH
+    engines (_doc_lines filter mirrored by the CTE's WHERE)."""
+    import duckdb
+
+    from calamari_spark.plans.containerplans import (
+        X_ABBYY_ROUNDTRIP_SQL,
+        x_abbyy_roundtrip,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "some real words here")],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = x_abbyy_roundtrip(spark, sf_dir).toPandas()
+    assert set(out.doc_id) == {3}
+    assert (out.stored_text == "PRED: " + out.gt_text).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(X_ABBYY_ROUNDTRIP_SQL).df()
+    assert set(ddf.doc_id) == {3}

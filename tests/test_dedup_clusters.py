@@ -210,3 +210,65 @@ def test_cc_release_never_touches_foreign_checkpoints(spark):
     connected_components(df, algorithm="star").collect()
     assert foreign.count() == 1000
     assert foreign.agg(F.sum("v")).first()[0] == 999 * 1000
+
+
+def test_star_two_parent_regression(spark):
+    """Review-caught convergence bug: this graph reaches the no-chains
+    state {(5,1),(7,1),(3,1),(5,2),(8,2),(4,2)} after one round — node 5
+    has TWO parents, bridging roots 1 and 2 — and the old star-forest test
+    (chains only) declared convergence there, splitting one component into
+    clusters 1 and 2 and emitting node 5 twice. The check now also
+    requires the edge set to be a function (one parent per node)."""
+    pairs = [(5, 7), (5, 8), (3, 7), (1, 3), (4, 8), (2, 4)]
+    star = _resolve_star(spark, pairs)
+    assert star == _resolve(spark, pairs)
+    assert set(star.values()) == {1}  # one component, min root
+
+
+def test_star_matches_minlabel_on_sparse_random_graphs(spark):
+    """Sparse graphs (|E| ~ |V|) hit the two-parent no-chain intermediate
+    state far more often than the dense trials above (~2.3% of small
+    random graphs under the old check)."""
+    import random
+
+    rng = random.Random(31337)
+    for trial in range(6):
+        n = rng.choice([10, 16, 24])
+        m = int(n * rng.uniform(0.7, 1.2))
+        pairs = list({
+            (a, b)
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+            if a != b
+        })
+        if not pairs:
+            continue
+        assert _resolve_star(spark, pairs) == _resolve(spark, pairs), (trial, pairs)
+
+
+def test_sweep_spares_fresh_foreign_scratch(spark, tmp_path, monkeypatch):
+    """Review-caught hazard: the end-of-job sweep used to delete EVERY
+    mat-* dir under the shared durable root, including a concurrently
+    running job's live intermediates. Now a foreign dir survives until the
+    24h TTL; this job's own dirs and aged foreign dirs are removed."""
+    import os as _os
+
+    from calamari_spark.plans.common import (
+        DURABLE_DIR_ENV,
+        sweep_materialize_scratch,
+    )
+
+    monkeypatch.setenv(DURABLE_DIR_ENV, str(tmp_path))
+    fresh = tmp_path / "mat-other_app_123-deadbeef"
+    fresh.mkdir()
+    aged = tmp_path / "mat-other_app_456-cafef00d"
+    aged.mkdir()
+    two_days_ago = __import__("time").time() - 2 * 24 * 3600
+    _os.utime(aged, (two_days_ago, two_days_ago))
+    own = tmp_path / (
+        "mat-" + spark.sparkContext.applicationId.replace("-", "_") + "-ab12"
+    )
+    own.mkdir()
+
+    removed = sweep_materialize_scratch(spark)
+    assert removed == 2  # own + aged foreign
+    assert fresh.exists() and not aged.exists() and not own.exists()

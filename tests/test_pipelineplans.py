@@ -2,6 +2,7 @@
 packing semantics (the cross-engine value check lives in
 test_oracle_parity.py, which auto-discovers the three shadow queries)."""
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from calamari_spark.plans.pipelineplans import (
@@ -24,9 +25,12 @@ def test_decontaminate_broadcasts_benchmark_set(spark):
     """The benchmark gram set is tiny next to the corpus; at 100 TB the
     probe must be a map-side broadcast hash join, never a corpus shuffle."""
     plan = _plan(q_decontaminate(spark, SF))
+    # the shingle-vs-benchmark probe is the corpus-scaled join and must be
+    # a broadcast hash probe (bench is explicitly F.broadcast'ed); the
+    # final zero-hit restore join is doc_id-keyed and deliberately NOT
+    # forced — hits is corpus-scaled in the worst case, so Catalyst picks
+    # its strategy by size there
     assert "BroadcastHashJoin" in plan
-    # the corpus side must not sort-merge against the benchmark set
-    assert "SortMergeJoin" not in plan
 
 
 def test_decontaminate_flags_benchmark_members(spark):
@@ -123,3 +127,38 @@ def test_pack_kernel_invariants_random():
                 run_sum += r["n_tokens"]
 
     run()
+
+
+def test_repetition_stats_keeps_sub_bigram_docs(spark, tmp_path):
+    """A 1-word document has zero bigrams; it must still get a quality row
+    (n_bigrams=0, NULL top_bigram_frac) in BOTH engines — an inner join
+    dropped it identically on both sides, so only this edge test can see
+    the hole."""
+    import duckdb
+
+    from calamari_spark.plans.pipelineplans import Q_REPETITION_SQL, q_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, "a a b b a a b b"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = q_repetition_stats(spark, sf_dir).toPandas().set_index("doc_id")
+    assert set(out.index) == {1, 2, 3}
+    assert out.loc[1, "n_bigrams"] == 0
+    assert pd.isna(out.loc[1, "top_bigram_frac"])
+    # doc 2: lines ["a a b b a a b b"] (one 8-word line) -> no dup lines;
+    # bigrams: 7 total; "a a"/"a b"/"b b" each appear 2x, "b a" once
+    assert out.loc[2, "n_bigrams"] == 7
+    assert out.loc[2, "top_bigram_count"] == 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(Q_REPETITION_SQL).df().set_index("doc_id")
+    assert set(ddf.index) == {1, 2, 3}
+    assert ddf.loc[1, "n_bigrams"] == 0
+    assert pd.isna(ddf.loc[1, "top_bigram_frac"])
