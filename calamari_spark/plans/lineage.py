@@ -66,6 +66,7 @@ def run_extraction_job(
     buckets_per_wave: int = 4,
     fail_after_waves: Optional[int] = None,
     on_error: str = "fail",
+    sink: str = "overwrite",
 ) -> Dict:
     """Resumable extraction: processes pending doc_id buckets in waves,
     committing output + lineage + metrics after each wave. Returns a
@@ -78,10 +79,20 @@ def run_extraction_job(
     buckets — large enough to keep every core busy, small enough that a
     kill loses at most one wave of work. At 10^12 docs a bucket maps to an
     Iceberg partition and the same loop runs over partition ids.
+
+    ``sink``: ``overwrite`` (default) replaces a re-processed bucket's
+    directory in place via dynamic partition overwrite; ``snapshot``
+    (plans/snaptable.py) writes append-only data files and commits a
+    manifest per wave — concurrent readers keep a consistent pinned view
+    and old snapshots remain time-travelable until expired, at the cost
+    of deferred garbage collection (the Iceberg trade).
     """
     from calamari_spark.plans.extraction import extract_documents
 
+    if sink not in ("overwrite", "snapshot"):
+        raise ValueError(f"sink must be 'overwrite' or 'snapshot', got {sink!r}")
     output_dir = os.path.join(out_dir, "extracted")
+    snap_dir = os.path.join(out_dir, "extracted_snap")
     lineage_dir = os.path.join(out_dir, "lineage")
     metrics_dir = os.path.join(out_dir, "metrics")
     quarantine_dir = os.path.join(out_dir, "quarantine")
@@ -110,16 +121,29 @@ def run_extraction_job(
         wave_docs = bdocs.filter(F.col("bucket").isin([int(b) for b in wave]))
         extracted = extract_documents(wave_docs.drop("bucket"), media, on_error=on_error)
         out = with_bucket(extracted, n_buckets)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
+        if sink == "snapshot":
+            from calamari_spark.plans.snaptable import snap_commit, snap_write_wave
+
+            new_paths = snap_write_wave(spark, snap_dir, out, wave, run_id)
+            snap_commit(spark, snap_dir, new_paths, run_id)
+        else:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
         wall = time.perf_counter() - t0
 
         # per-bucket metrics from the just-written output (scan is cheap:
         # partition-pruned to the wave's directories): sizes, throughput,
         # and — when the media store carries ground truth — per-bucket CER
         # (the north rule's per-partition throughput + CER metrics table)
-        written = spark.read.parquet(output_dir).filter(
-            F.col("bucket").isin([int(b) for b in wave])
-        )
+        if sink == "snapshot":
+            from calamari_spark.plans.snaptable import snap_read
+
+            written = snap_read(spark, snap_dir).filter(
+                F.col("bucket").isin([int(b) for b in wave])
+            )
+        else:
+            written = spark.read.parquet(output_dir).filter(
+                F.col("bucket").isin([int(b) for b in wave])
+            )
         stats = written.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size("spans")).alias("n_spans"),
@@ -234,7 +258,18 @@ def run_extraction_job(
     }
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession,
+    out_dir: str,
+    sink: str = "overwrite",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    if sink == "snapshot":
+        from calamari_spark.plans.snaptable import snap_read
+
+        return snap_read(
+            spark, os.path.join(out_dir, "extracted_snap"), snapshot_id
+        ).drop("bucket")
     return spark.read.parquet(os.path.join(out_dir, "extracted")).drop("bucket")
 
 
