@@ -329,8 +329,110 @@ FROM packed ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Web-scale training pipelines (C4, Dolma, FineWeb) redact personally
+# identifying strings before release: emails, phone numbers, IP
+# addresses. The patterns below stay inside the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically — character classes,
+# bounded/unbounded quantifiers, \b word boundaries; no lookaround, no
+# backrefs — so the SAME pattern literal drives both engines. PII is
+# synthesized deterministically per document (doc_id-derived email,
+# phone, IPv4 appended to the page) exactly like q_link_extract's
+# outlinks, so the operator exercises real matches at every SF.
+#
+# 100 TB shape: a pure Catalyst regexp_replace/regexp_extract_all chain —
+# JVM-side, whole-stage-codegen, zero shuffle, zero Python. Counts are
+# taken BEFORE redaction and ride along as integers to anchor the
+# cross-engine hash.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_page_col():
+    """documents.text + one synthesized email, phone and IPv4 (all
+    doc_id-derived, so both engines build byte-identical pages)."""
+    d = F.col("doc_id")
+    return F.concat(
+        _regularized_col(F.col("text")),
+        F.lit(" contact user"),
+        F.pmod(d, F.lit(1000)),
+        F.lit("@mail"),
+        F.pmod(d, F.lit(5)),
+        F.lit(".example.com call 555-"),
+        F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        F.pmod(d, F.lit(256)),
+        F.lit("."),
+        F.pmod(d, F.lit(64)),
+        F.lit(".7"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    page = _pii_page_col()
+    # count on the original page, then redact email -> phone -> ip (the
+    # three patterns are mutually non-overlapping — email requires '@',
+    # phone dashes, ip dots — but a FIXED order keeps both engines
+    # byte-identical even if a corpus string ever straddles two)
+    redacted = F.regexp_replace(page, PII_EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "[PHONE]")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "[IP]")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(page, F.lit(PII_EMAIL), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all(page, F.lit(PII_PHONE), 0)).alias(
+                "n_phones"
+            ),
+            F.size(F.regexp_extract_all(page, F.lit(PII_IPV4), 0)).alias(
+                "n_ips"
+            ),
+            F.md5(redacted).alias("redacted_md5"),
+            (F.length(page) - F.length(redacted)).alias("chars_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_PAGE_SQL = f"""{_REG_SQL} || ' contact user' || (doc_id % 1000) ||
+  '@mail' || (doc_id % 5) || '.example.com call 555-' ||
+  lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+  lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+  ' from 10.' || (doc_id % 256) || '.' || (doc_id % 64) || '.7'"""
+
+Q_PII_SQL = f"""
+WITH pages AS (SELECT doc_id, {_PII_PAGE_SQL} AS page FROM documents),
+red AS (
+  SELECT doc_id, page,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(page, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g'),
+           '{PII_IPV4}', '[IP]', 'g') AS redacted
+  FROM pages
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(page, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(page, '{PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(page, '{PII_IPV4}')) AS INT) AS n_ips,
+       md5(redacted) AS redacted_md5,
+       CAST(len(page) - len(redacted) AS INT) AS chars_removed
+FROM red ORDER BY doc_id
+"""
+
+
 PIPELINE_SHADOW_QUERIES = {
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
+    "q_pii_redact": (q_pii_redact, Q_PII_SQL),
 }

@@ -199,6 +199,44 @@ def snap_read(
     return out
 
 
+def snap_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: int,
+    to_snapshot: Optional[int] = None,
+) -> DataFrame:
+    """Incremental scan (the Iceberg changelog-read analog): the current
+    contents of every bucket whose owning data directory CHANGED between
+    ``from_snapshot`` (exclusive) and ``to_snapshot`` (inclusive,
+    default latest). Downstream consumers — dedup refresh, index
+    rebuild, metric rollups — re-read only re-processed buckets instead
+    of the whole table; at 10^12 docs a resume wave touches a handful of
+    buckets and the diff is exactly those."""
+    ids = list_snapshots(spark, table_dir)
+    to_sid = (ids[-1] if ids else 0) if to_snapshot is None else to_snapshot
+    for sid in (from_snapshot, to_sid):
+        if sid not in ids:
+            raise ValueError(
+                f"snapshot {sid} not present under {table_dir} (have {ids})"
+            )
+    old = _read_manifest(spark, table_dir, from_snapshot)["committed"]
+    new = _read_manifest(spark, table_dir, to_sid)["committed"]
+    changed = {
+        b: path for b, path in new.items() if old.get(b) != path
+    }
+    parts = [
+        spark.read.parquet(path).withColumn("bucket", F.lit(int(b)))
+        for b, path in sorted(changed.items())
+    ]
+    if not parts:
+        base = snap_read(spark, table_dir, to_sid)
+        return base.filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def expire_snapshots(
     spark: SparkSession, table_dir: str, keep_last: int = 2
 ) -> Dict[str, int]:

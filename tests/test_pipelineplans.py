@@ -162,3 +162,42 @@ def test_repetition_stats_keeps_sub_bigram_docs(spark, tmp_path):
     assert set(ddf.index) == {1, 2, 3}
     assert ddf.loc[1, "n_bigrams"] == 0
     assert pd.isna(ddf.loc[1, "top_bigram_frac"])
+
+
+def test_pii_redact_catches_corpus_text_pii(spark, tmp_path):
+    """PII inside the document text itself (not just the synthesized
+    page suffix) must be counted and redacted identically in both
+    engines — including an email whose domain is IP-like and digits that
+    must NOT match (version strings, years)."""
+    import duckdb
+
+    from calamari_spark.plans.pipelineplans import Q_PII_SQL, q_pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or 212-555-0142 now"),
+            (2, "server 192.168.001.250 at port 8080 since 1999 v2.5"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = q_pii_redact(spark, sf_dir).toPandas().set_index("doc_id")
+    # every row carries the 1 synthesized email/phone/ip; doc 1 adds one
+    # email + one phone of its own, doc 2 adds one dotted-quad
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 2
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[3, ["n_emails", "n_phones", "n_ips"]].tolist() == [1, 1, 1]
+    # "v2.5" / "1999" / "8080" must not be redacted: chars_removed equals
+    # exactly the delta of the real matches, which is positive everywhere
+    assert (out.chars_removed > 0).all()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(Q_PII_SQL).df().set_index("doc_id")
+    for c in ("n_emails", "n_phones", "n_ips", "redacted_md5", "chars_removed"):
+        assert ddf[c].tolist() == out[c].tolist(), c

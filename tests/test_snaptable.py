@@ -130,3 +130,32 @@ def test_extraction_snapshot_sink_matches_overwrite(spark, tmp_path):
         "doc_id", F.to_json("spans").alias("j")
     )
     assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_snap_diff_returns_only_changed_buckets(spark, tmp_path):
+    """Incremental scan: after re-processing bucket 0, the diff from the
+    pre-rewrite snapshot contains bucket 0's NEW rows and nothing from
+    untouched bucket 1; a self-diff is empty with the table schema."""
+    from calamari_spark.plans.snaptable import snap_diff
+
+    t = str(tmp_path / "tbl")
+    p = snap_write_wave(spark, t, _wave_df(spark, 0, [1, 2]), [0], "r1")
+    p.update(snap_write_wave(spark, t, _wave_df(spark, 1, [10]), [1], "r1"))
+    snap_commit(spark, t, p, "r1")  # snapshot 1: buckets 0 and 1
+    snap_commit(
+        spark, t,
+        snap_write_wave(spark, t, _wave_df(spark, 0, [99]), [0], "r2"),
+        "r2",
+    )  # snapshot 2 rewrites bucket 0 only
+
+    d = snap_diff(spark, t, 1).collect()
+    assert {(r["bucket"], r["v"]) for r in d} == {(0, 99)}
+
+    empty = snap_diff(spark, t, 2, 2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"bucket", "v"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present"):
+        snap_diff(spark, t, 7)
