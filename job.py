@@ -56,6 +56,12 @@ def main(argv=None) -> None:
                         "large-star/small-star, O(log n) rounds — the "
                         "at-scale setting for graphs with long duplicate "
                         "chains)")
+    p.add_argument("--sink", choices=["overwrite", "snapshot"], default="overwrite",
+                   help="extraction sink: overwrite (dynamic partition "
+                        "overwrite in place) or snapshot (Iceberg-analog "
+                        "append-only data files + atomic manifest commits; "
+                        "concurrent readers keep a pinned consistent view, "
+                        "old snapshots are time-travelable until expired)")
     p.add_argument("--on-error", choices=["fail", "quarantine"], default="fail",
                    help="per-record failure policy: fail the job (strict) or "
                         "quarantine the record (NULL span text + n_failed "
@@ -114,7 +120,7 @@ def main(argv=None) -> None:
     summary = run_extraction_job(
         spark, docs, media, args.out,
         n_buckets=args.n_buckets, buckets_per_wave=args.buckets_per_wave,
-        on_error=args.on_error,
+        on_error=args.on_error, sink=args.sink,
     )
     print(json.dumps(summary))
     # crash leftovers from materialize(backend="parquet") (normal runs
