@@ -183,16 +183,29 @@ def snap_read(
             "expired by expire_snapshots or never committed"
         )
     manifest = _read_manifest(spark, table_dir, sid)
-    parts = []
-    for bucket, path in sorted(manifest["committed"].items()):
-        # partitionBy strips the bucket column from the data files;
-        # restore it from the manifest key so the scan schema matches the
-        # logical table
-        parts.append(
-            spark.read.parquet(path).withColumn("bucket", F.lit(int(bucket)))
-        )
-    if not parts:
+    if not manifest["committed"]:
         raise ValueError(f"snapshot {sid} commits no buckets")
+    return _scan_committed(spark, manifest["committed"])
+
+
+def _scan_committed(spark: SparkSession, committed: Dict[str, str]) -> DataFrame:
+    """Scan {bucket: data path} as one frame. Grouped by owning wave
+    directory — one parquet read per LIVE WAVE DIR (Spark re-infers
+    ``bucket=N`` as a partition column there), filtered to the buckets
+    the manifest still assigns to it, so superseded sibling buckets are
+    partition-PRUNED at the scan. A per-bucket read+union would be
+    O(buckets) driver-side plan nodes — 10^5 unions at production bucket
+    counts; per-wave it is O(live waves), bounded by buckets_per_wave
+    batching and snapshot expiry."""
+    by_wave: Dict[str, List[int]] = {}
+    for bucket, path in sorted(committed.items()):
+        by_wave.setdefault(os.path.dirname(path.rstrip("/")), []).append(
+            int(bucket)
+        )
+    parts = [
+        spark.read.parquet(wave_dir).filter(F.col("bucket").isin(buckets))
+        for wave_dir, buckets in sorted(by_wave.items())
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -224,17 +237,9 @@ def snap_diff(
     changed = {
         b: path for b, path in new.items() if old.get(b) != path
     }
-    parts = [
-        spark.read.parquet(path).withColumn("bucket", F.lit(int(b)))
-        for b, path in sorted(changed.items())
-    ]
-    if not parts:
-        base = snap_read(spark, table_dir, to_sid)
-        return base.filter(F.lit(False))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    if not changed:
+        return snap_read(spark, table_dir, to_sid).filter(F.lit(False))
+    return _scan_committed(spark, changed)
 
 
 def expire_snapshots(

@@ -159,3 +159,22 @@ def test_snap_diff_returns_only_changed_buckets(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not present"):
         snap_diff(spark, t, 7)
+
+
+def test_snap_read_scans_per_wave_not_per_bucket(spark, tmp_path):
+    """Plan shape: a wave committing 4 buckets must produce ONE parquet
+    scan (wave-dir read + bucket partition pruning), not 4 unioned
+    per-bucket reads — at production bucket counts a per-bucket union is
+    O(buckets) driver-side plan nodes."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(b, b * 10) for b in range(4)], "bucket int, v int"
+    )
+    snap_commit(
+        spark, t, snap_write_wave(spark, t, df, [0, 1, 2, 3], "r1"), "r1"
+    )
+    plan = snap_read(spark, t)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+    # and the data still reads back complete
+    rows = {(r["bucket"], r["v"]) for r in snap_read(spark, t).collect()}
+    assert rows == {(b, b * 10) for b in range(4)}
