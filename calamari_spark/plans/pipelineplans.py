@@ -430,9 +430,159 @@ FROM red ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus datacard
+# ---------------------------------------------------------------------------
+# The one-row release summary every published training corpus ships
+# (datasheet/data-card practice): document and token totals, exact-dup
+# fraction, language spread, mean quality. Composes the per-doc
+# annotations the standalone queries compute, in ONE corpus pass over a
+# materialized per-doc frame, then two tiny aggregations:
+#
+# * fingerprint groupBy — the exact-dedup shuffle (partial-agg; the only
+#   corpus-scaled exchange);
+# * pred_lang groupBy — tiny cardinality, map-side combine collapses it
+#   to O(languages) rows before the exchange.
+#
+# All fractions derive from exact integer numerators/denominators
+# (quality rides as round(q*1e6) bigint), so the cross-engine hash is
+# anchored on integers and the final doubles are computed from identical
+# operands in an identical order on both sides.
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calamari_spark.plans.common import materialize
+    from calamari_spark.plans.textplans import _langid_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    n_chars = F.length(clean)
+    n_tokens = F.size(F.split(clean, " "))
+    n_punct = n_chars - F.length(F.regexp_replace(clean, r"[.,:;?!]", ""))
+    score = F.round(
+        F.when(n_tokens >= 5, 1.0).otherwise(0.2)
+        * F.when(F.round(n_punct / n_chars, 6) < 0.2, 1.0).otherwise(0.5)
+        * F.least(F.lit(1.0), F.round(n_chars / n_tokens, 6) / 4.0),
+        6,
+    )
+    per = materialize(
+        docs.select(
+            F.md5(clean).alias("fp"),
+            n_tokens.alias("n_tokens"),
+            F.round(score * 1e6, 0).cast("long").alias("q6"),
+            _langid_cols().alias("pred_lang"),
+        )
+    )
+
+    by_fp = per.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum("q6").alias("sq"),
+    )
+    totals = by_fp.agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum("sq").alias("sum_q6"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_docs"
+        ),
+    )
+    lang_counts = per.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("c"))
+    n_langs = lang_counts.agg(F.count(F.lit(1)).alias("n_langs"))
+    major = (
+        lang_counts.orderBy(F.desc("c"), "pred_lang")
+        .limit(1)
+        .select(
+            F.col("pred_lang").alias("majority_lang"),
+            F.col("c").alias("majority_count"),
+        )
+    )
+    # one-row frames: crossJoins are broadcast scalar attaches
+    return (
+        totals.crossJoin(n_langs)
+        .crossJoin(major)
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias(
+                "avg_doc_tokens"
+            ),
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_frac"
+            ),
+            "n_langs",
+            "majority_lang",
+            F.round(F.col("majority_count") / F.col("n_docs"), 6).alias(
+                "majority_share"
+            ),
+            F.round(
+                F.col("sum_q6") / F.lit(1e6) / F.col("n_docs"), 6
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def _datacard_sql() -> str:
+    from calamari_spark.plans.textplans import _LANGID_CASE, _marker_sql_frag
+
+    return f"""
+WITH base AS (
+  SELECT {_REG_SQL} AS clean, ' ' || {_REG_SQL} || ' ' AS padded
+  FROM documents
+),
+feats AS (
+  SELECT clean,
+         CAST(length(clean) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(clean, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(clean) - length(regexp_replace(clean, '[.,:;?!]', '', 'g')) AS DOUBLE) AS n_punct,
+         {_marker_sql_frag(' the ')} + {_marker_sql_frag(' is ')} + {_marker_sql_frag(' a ')} AS en,
+         {_marker_sql_frag(' el ')} + {_marker_sql_frag(' la ')} + {_marker_sql_frag(' de ')} AS es,
+         {_marker_sql_frag(' der ')} + {_marker_sql_frag(' und ')} + {_marker_sql_frag(' das ')} AS de
+  FROM base
+),
+per AS (
+  SELECT md5(clean) AS fp,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round(round(
+           (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.2 END)
+           * (CASE WHEN round(n_punct / n_chars, 6) < 0.2 THEN 1.0 ELSE 0.5 END)
+           * least(1.0, round(n_chars / n_tokens, 6) / 4.0), 6) * 1000000, 0) AS BIGINT) AS q6,
+         {_LANGID_CASE} AS pred_lang
+  FROM feats
+),
+fp_counts AS (
+  SELECT fp, count(*) AS c, sum(n_tokens) AS tok, sum(q6) AS sq
+  FROM per GROUP BY fp
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(sq) AS BIGINT) AS sum_q6,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM fp_counts
+),
+lang_counts AS (SELECT pred_lang, count(*) AS c FROM per GROUP BY pred_lang),
+nl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM lang_counts),
+major AS (
+  SELECT pred_lang AS majority_lang, CAST(c AS BIGINT) AS majority_count
+  FROM lang_counts ORDER BY c DESC, pred_lang LIMIT 1
+)
+SELECT n_docs, total_tokens,
+       round(total_tokens / n_docs, 6) AS avg_doc_tokens,
+       n_dup_docs,
+       round(n_dup_docs / n_docs, 6) AS dup_frac,
+       n_langs, majority_lang,
+       round(majority_count / n_docs, 6) AS majority_share,
+       round(sum_q6 / 1000000.0 / n_docs, 6) AS mean_quality
+FROM tot, nl, major
+"""
+
+
 PIPELINE_SHADOW_QUERIES = {
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
     "q_pii_redact": (q_pii_redact, Q_PII_SQL),
+    "q_corpus_datacard": (q_corpus_datacard, _datacard_sql()),
 }

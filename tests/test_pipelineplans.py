@@ -201,3 +201,44 @@ def test_pii_redact_catches_corpus_text_pii(spark, tmp_path):
     ddf = con.execute(Q_PII_SQL).df().set_index("doc_id")
     for c in ("n_emails", "n_phones", "n_ips", "redacted_md5", "chars_removed"):
         assert ddf[c].tolist() == out[c].tolist(), c
+
+
+def test_corpus_datacard_known_values(spark, tmp_path):
+    """Datacard semantics on a hand-checkable corpus: 4 docs, one exact-dup
+    pair, two predicted languages."""
+    import duckdb
+
+    from calamari_spark.plans.pipelineplans import (
+        _datacard_sql,
+        q_corpus_datacard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is on a mat today friend", "en"),
+            (2, "the cat is on a mat today friend", "en"),  # exact dup of 1
+            (3, "el la de gato bonito la casa aqui", "es"),
+            (4, "completely unique words without markers", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = q_corpus_datacard(spark, sf_dir).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_docs == 4
+    assert r.n_dup_docs == 2 and abs(r.dup_frac - 0.5) < 1e-9
+    assert r.n_langs == 3  # en, es, unknown
+    assert r.majority_lang == "en" and abs(r.majority_share - 0.5) < 1e-9
+    assert r.total_tokens == 8 * 3 + 5
+    assert 0 < r.mean_quality <= 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(_datacard_sql()).df()
+    for c in out.columns:
+        assert str(ddf.iloc[0][c]) == str(r[c]), c
