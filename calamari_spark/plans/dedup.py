@@ -125,37 +125,43 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(table: str = "documents") -> str:
+    return f"""
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM (
     SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-    FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, string_split({_REG_SQL}, ' ') AS w FROM {table})
     WHERE len(w) >= 3
   )
 """
 
 
-def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
-    """Near-dup pairs via MinHash signatures + banded LSH candidate join.
+_SHINGLES_SQL = _shingles_sql()
 
-    One shuffle builds signatures (groupBy doc), one shuffle buckets bands,
-    one joins candidates back to signatures. No cross join anywhere, and
-    degenerate band buckets are star-reduced (banded_candidates)."""
-    sh = _shingles(docs)
 
-    # referenced by the band bucketing AND both sides of the similarity
-    # join — without materialization the shingle+16-md5 pipeline (the
-    # expensive half) executes once per subtree (see materialize)
-    sig = materialize(
-        sh.groupBy("doc_id").agg(
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signature per document (doc_id, h0..h{N_HASHES-1}),
+    MATERIALIZED: every consumer references it at least twice (band
+    bucketing + both sides of the similarity join; the incremental-dedup
+    scan probes it per wave) and the shingle+16-md5 pipeline is the
+    expensive half. In a production pipeline this is the table the
+    snapshot sink persists once per crawl so later waves never recompute
+    it (see q_incremental_dedup)."""
+    return materialize(
+        _shingles(docs).groupBy("doc_id").agg(
             *[
                 F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
                 for i in range(N_HASHES)
             ]
         )
     )
+
+
+def band_keys(sig: DataFrame) -> DataFrame:
+    """LSH band keys (doc_id, band, key) from a signature table: band b's
+    key is the md5 of its BAND_ROWS consecutive signature components."""
     n_bands = N_HASHES // BAND_ROWS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -173,6 +179,16 @@ def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + banded LSH candidate join.
+
+    One shuffle builds signatures (groupBy doc), one shuffle buckets bands,
+    one joins candidates back to signatures. No cross join anywhere, and
+    degenerate band buckets are star-reduced (banded_candidates)."""
+    sig = minhash_signatures(docs)
+    bands = band_keys(sig)
 
     cand = banded_candidates(bands, "doc_id", "doc_a", "doc_b", cap=cap)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
@@ -197,8 +213,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_parts() -> tuple:
-    """(ctes, pair_select) shared by the pair oracle and the cluster oracle."""
+def _sig_band_ctes(table: str = "documents") -> str:
+    """SQL CTE bodies `shingles`, `sig`, `bands` — the oracle mirror of
+    minhash_signatures + band_keys, shared by the pair/cluster oracles and
+    the incremental-dedup oracle (which reads a derived `eff` table)."""
     hash_cols = ",\n         ".join(
         f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
     )
@@ -210,10 +228,7 @@ def _minhash_parts() -> tuple:
         )
         for b in range(n_bands)
     )
-    matches = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
-    )
-    ctes = f"""shingles AS ({_SHINGLES_SQL}),
+    return f"""shingles AS ({_shingles_sql(table)}),
 sig AS (
   SELECT doc_id,
          {hash_cols}
@@ -222,7 +237,15 @@ sig AS (
 bands AS (
   SELECT doc_id, band, key
   FROM sig, (VALUES {band_rows}) AS v(band, key)
-),
+)"""
+
+
+def _minhash_parts() -> tuple:
+    """(ctes, pair_select) shared by the pair oracle and the cluster oracle."""
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    ctes = f"""{_sig_band_ctes()},
 {banded_candidates_sql("doc_id", "doc_a", "doc_b")}"""
     pair_select = f"""SELECT doc_a, doc_b,
        round(({matches}) / {N_HASHES}.0, 6) AS minhash_sim
@@ -583,8 +606,140 @@ FROM agg JOIN documents USING (doc_id) ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new crawl wave vs existing snapshot
+# ---------------------------------------------------------------------------
+# At 100 TB a corpus is never deduplicated from scratch per crawl: the new
+# wave (days of crawling, ~0.1-1% of the snapshot) is checked AGAINST the
+# standing snapshot, whose content fingerprints and MinHash signatures were
+# persisted when it was built (minhash_signatures is exactly the table the
+# snapshot sink stores — see plans/snaptable.py). The corpus has no wave
+# column, so waves are DERIVED deterministically: doc_id % 3 == 0 is the
+# incoming wave, the rest is the standing snapshot.
+#
+# The scale-defining property is JOIN DIRECTION: the snapshot side is 10^12
+# rows and must never shuffle. Both probes therefore broadcast the SMALL
+# side twice — (1) the wave's distinct keys broadcast against the snapshot
+# scan (map-side semi-probe, result <= wave size), (2) that result
+# broadcasts back against the wave. tests/test_physical_plans.py asserts
+# the BroadcastHashJoins and that no Exchange lands on the snapshot scan.
+
+INCR_WAVE_MOD = 3    # doc_id % 3 == 0 -> incoming wave
+INCR_RECRAWL_MOD = 21  # wave docs at % 21 == 0 re-captured page doc_id+1
+                       # unchanged — guaranteed cross-wave EXACT hits (the
+                       # corpus has none at sf0.01, so without this the
+                       # 'exact' branch would be dead code to the oracle)
+
+
+def _recrawl_docs(docs: DataFrame) -> DataFrame:
+    """Fixture synthesis (not part of the operator): wave docs at
+    doc_id % INCR_RECRAWL_MOD == 0 carry the text of page doc_id+1 — an
+    existing-snapshot page (d % 3 == 0 implies d+1 % 3 == 1) — simulating a
+    recrawl that captured the page unchanged. The corpus self-join below
+    exists ONLY for this derivation; the operator's own probes stay
+    broadcast (see the plan test)."""
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("recrawl_text"))
+    return docs.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(INCR_RECRAWL_MOD)) == 0,
+            F.coalesce("recrawl_text", "text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_INCR_EFF_SQL = f"""
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {INCR_RECRAWL_MOD} = 0
+              THEN coalesce(e.text, d.text) ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents e ON e.doc_id = d.doc_id + 1
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each incoming-wave document against the standing snapshot:
+    'exact' (content fingerprint already present), 'near' (shares an LSH
+    band bucket with a snapshot doc), else 'fresh'. Within-wave duplicates
+    are out of scope here — that is the standing q_exact_dedup /
+    q_dedup_clusters path run when the wave is folded in."""
+    docs = _recrawl_docs(load_table(spark, "documents", sf_dir))
+    inc = F.pmod(F.col("doc_id"), F.lit(INCR_WAVE_MOD)) == 0
+
+    # referenced twice (wave + snapshot filters): one regularize+md5 pass
+    fps = materialize(
+        docs.select("doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fp"), inc.alias("inc"))
+    )
+    inc_fp, ex_fp = fps.filter(F.col("inc")), fps.filter(~F.col("inc"))
+    hit_fps = (
+        ex_fp.join(F.broadcast(inc_fp.select("fp").distinct()), "fp", "left_semi")
+        .select("fp")
+        .distinct()
+    )
+    exact_ids = inc_fp.join(F.broadcast(hit_fps), "fp", "left_semi").select("doc_id")
+
+    bands = band_keys(minhash_signatures(docs)).withColumn("inc", inc)
+    inc_b, ex_b = bands.filter(F.col("inc")), bands.filter(~F.col("inc"))
+    hit_keys = (
+        ex_b.join(F.broadcast(inc_b.select("band", "key").distinct()), ["band", "key"], "left_semi")
+        .select("band", "key")
+        .distinct()
+    )
+    near_ids = (
+        inc_b.join(F.broadcast(hit_keys), ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        fps.filter(F.col("inc"))
+        .select("doc_id")
+        .join(exact_ids.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact")
+            .when(F.col("is_near"), "near")
+            .otherwise("fresh")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH eff AS ({_INCR_EFF_SQL}),
+{_sig_band_ctes("eff")},
+fps AS (SELECT doc_id, md5(lower({_REG_SQL})) AS fp FROM eff),
+exact_hit AS (
+  SELECT DISTINCT i.doc_id FROM fps i JOIN fps e ON i.fp = e.fp
+  WHERE i.doc_id % {INCR_WAVE_MOD} = 0 AND e.doc_id % {INCR_WAVE_MOD} <> 0
+),
+near_hit AS (
+  SELECT DISTINCT i.doc_id
+  FROM bands i JOIN bands e ON i.band = e.band AND i.key = e.key
+  WHERE i.doc_id % {INCR_WAVE_MOD} = 0 AND e.doc_id % {INCR_WAVE_MOD} <> 0
+)
+SELECT d.doc_id,
+       CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+            WHEN nh.doc_id IS NOT NULL THEN 'near'
+            ELSE 'fresh' END AS status
+FROM documents d
+LEFT JOIN exact_hit x ON d.doc_id = x.doc_id
+LEFT JOIN near_hit nh ON d.doc_id = nh.doc_id
+WHERE d.doc_id % {INCR_WAVE_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+
 DEDUP_QUERIES = {
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, _minhash_oracle()),
     "q_dedup_clusters": (q_dedup_clusters, _clusters_oracle()),
     "q_simhash": (q_simhash, _simhash_oracle()),
+}
+
+DEDUP_SHADOW_QUERIES = {
+    "q_incremental_dedup": (q_incremental_dedup, _incremental_oracle()),
 }

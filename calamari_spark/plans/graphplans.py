@@ -81,14 +81,25 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             F.when(node % 3 == 0, F.pmod(node, F.lit(PR_HUBS))),
         )
     )
-    # edges are referenced once per round — materialize ONCE, reuse K times
-    edges, edges_handle = materialize_tracked(
+    # Edges are referenced once per round. persist() — NOT materialize()'s
+    # localCheckpoint — because InMemoryRelation preserves the
+    # outputPartitioning while a checkpoint's LogicalRDD does not
+    # (measured: the join re-exchanged a checkpointed-and-repartitioned
+    # edge table every round; the persisted one is exchanged ONCE at cache
+    # build). With edges hash-partitioned on src, each of the K rounds
+    # shuffles only the rank table + the groupBy — the edge corpus (the
+    # big side: 3 rows/node) stays put. Lineage survives persist, so a
+    # lost executor recomputes the cheap derivation instead of failing.
+    edges = (
         nodes.select(
             F.col("node").alias("src"),
             F.size(dsts).alias("outd"),
             F.explode(dsts).alias("dst"),
         )
+        .repartition(F.col("src"))
+        .persist()
     )
+    edges.count()  # eager: pay the one-time exchange outside the rounds
     ranks, own_prev = materialize_tracked(
         nodes.withColumn("rank", F.lit(init).cast("long"))
     )
@@ -116,7 +127,7 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         # the FINAL round's handle stays live — the returned frame is backed
         # by it; bench/job-level sweeps reclaim it (same policy as CC labels)
     finally:
-        release_materialized(spark, edges_handle)
+        edges.unpersist()
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

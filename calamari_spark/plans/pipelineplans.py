@@ -579,8 +579,75 @@ FROM tot, nl, major
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (deterministic hash-threshold per language)
+# ---------------------------------------------------------------------------
+# Training corpora are never used at natural proportions: each source /
+# language gets a target sampling rate (up- or down-weighting, e.g. the
+# LLaMA / Pile mixture tables). The scale-correct primitive is a
+# DETERMINISTIC hash threshold — keep doc iff h(doc_id) mod 10^4 < rate_bp
+# — because it is (1) a pure per-row map, no shuffle, no global count, (2)
+# stable under task retries and across reruns (Bernoulli rng per partition
+# is neither), (3) composable: a later rate change keeps a superset/subset
+# of the previous sample, so incremental waves stay consistent with the
+# snapshot. The tiny per-lang report aggregate is the only exchange.
+
+MIX_RATES_BP = {"en": 10000, "de": 6000, "fr": 4000, "es": 3000, "zh": 1500}
+MIX_DEFAULT_BP = 2000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture report: docs seen, docs kept by the hash
+    threshold, characters kept. The hash is md5('mix:'||doc_id) — the
+    engine-portable idiom q_fold_assign established."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIX_RATES_BP.items()],
+        F.lit(MIX_DEFAULT_BP),
+    )
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    bucket = F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(10000))
+    kept = (bucket < rate).cast("int")
+    return (
+        docs.select("lang", "n_chars", rate.alias("rate_bp"), kept.alias("kept"))
+        .groupBy("lang", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES_BP.items()
+    )
+    return f"CASE {whens} ELSE {MIX_DEFAULT_BP} END"
+
+
+Q_MIXTURE_SQL = f"""
+SELECT lang, rate_bp,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+FROM (
+  SELECT lang, n_chars, {_mix_rate_sql()} AS rate_bp,
+         CASE WHEN CAST(CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS BIGINT)
+              < {_mix_rate_sql()} THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+GROUP BY lang, rate_bp
+ORDER BY lang
+"""
+
+
 PIPELINE_SHADOW_QUERIES = {
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
+    "q_mixture_sample": (q_mixture_sample, Q_MIXTURE_SQL),
     "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
     "q_pii_redact": (q_pii_redact, Q_PII_SQL),

@@ -31,6 +31,7 @@ DRIVER_WINDOW = 50  # rows the driver attests, in insertion order
 def _register_all() -> None:
     from calamari_spark.functions.udxf import UDXF_QUERIES, UDXF_SHADOW_QUERIES
     from calamari_spark.plans.containerplans import CONTAINER_SHADOW_QUERIES
+    from calamari_spark.plans.dedup import DEDUP_SHADOW_QUERIES
     from calamari_spark.plans.graphplans import GRAPH_SHADOW_QUERIES
     from calamari_spark.plans.pipelineplans import PIPELINE_SHADOW_QUERIES
     from calamari_spark.plans.annplans import ANN_QUERIES, ANN_SHADOW_QUERIES
@@ -86,6 +87,7 @@ def _register_all() -> None:
         CONTAINER_SHADOW_QUERIES,
         PIPELINE_SHADOW_QUERIES,
         GRAPH_SHADOW_QUERIES,
+        DEDUP_SHADOW_QUERIES,
     ):
         SHADOW_QUERIES.update(group)
 
