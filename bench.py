@@ -60,13 +60,14 @@ def run_queries(spark, names, sf_dir, reps: int = 2):
     """Per query: run `reps` times, report the min (steady-state — Spark's
     one-time whole-stage-codegen Janino compile otherwise dominates small-SF
     numbers and says nothing about 100 TB throughput)."""
-    from calamari_spark.plans.registry import QUERIES
+    from calamari_spark.plans.registry import QUERIES, SHADOW_QUERIES
 
+    lookup = {**SHADOW_QUERIES, **QUERIES}
     times = {}
     for name in names:
-        if name not in QUERIES:
+        if name not in lookup:
             continue
-        fn, _ = QUERIES[name]
+        fn, _ = lookup[name]
         best = None
         for _rep in range(reps):
             t0 = time.perf_counter()
@@ -280,6 +281,13 @@ def main() -> None:
         "local_time_s": t_local,
         "overhead_vs_local": round(t_rel / t_local, 3) if t_rel and t_local else None,
     }
+
+    # round-5 additions measured OUTSIDE the headline set: the headline
+    # list is pinned so BENCH_r05's suite total stays comparable to the
+    # BASELINE.md 26.7-39.8 s band; these land as their own section
+    out["graph"] = run_queries(
+        spark, ["q_pagerank", "q_incremental_dedup", "q_mixture_sample"], SF_DIR
+    )
 
     # data-scale point (VERDICT r3 task #6): the scale-critical queries once
     # more at a deterministically synthesized 5x corpus. Runs in a CHILD
