@@ -262,18 +262,34 @@ def main() -> None:
     # restore the caller's backend afterwards — popping unconditionally
     # would silently flip an exported CALAMARI_SPARK_MATERIALIZE=parquet
     # run back to "local" for the data-scale section and its child process
+    # ALTERNATING A/B like the quarantine section: comparing a single
+    # reliable rep against the headline-pass local time conflated session
+    # drift with the checkpoint tax (recorded ratios ranged 1.03-1.65x on
+    # idle boxes depending on where in the session each side ran)
     prior_backend = os.environ.get(BACKEND_ENV)
-    os.environ[BACKEND_ENV] = "reliable"
+    t_rel = t_local = None
     try:
-        t_rel = run_queries(spark, ["q_dedup_clusters"], SF_DIR).get(
-            "q_dedup_clusters"
-        )
+        for _rep in range(2):
+            if prior_backend is None:
+                os.environ.pop(BACKEND_ENV, None)
+            else:
+                os.environ[BACKEND_ENV] = prior_backend
+            # reps=1 per side: the outer alternating min already absorbs
+            # codegen warm-up (the headline pass compiled this plan)
+            t = run_queries(spark, ["q_dedup_clusters"], SF_DIR, reps=1).get(
+                "q_dedup_clusters"
+            )
+            t_local = min(x for x in (t_local, t) if x is not None)
+            os.environ[BACKEND_ENV] = "reliable"
+            t = run_queries(spark, ["q_dedup_clusters"], SF_DIR, reps=1).get(
+                "q_dedup_clusters"
+            )
+            t_rel = min(x for x in (t_rel, t) if x is not None)
     finally:
         if prior_backend is None:
             os.environ.pop(BACKEND_ENV, None)
         else:
             os.environ[BACKEND_ENV] = prior_backend
-    t_local = times.get("q_dedup_clusters")
     out["durable"] = {
         "query": "q_dedup_clusters",
         "backend": "reliable",

@@ -745,9 +745,10 @@ def x_recognize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested prediction output serialized for the driver: the positions
     tree is emitted as its extended-prediction JSON payload (a plain
     sortable string; the nested variant stays internal via
-    _recognized_with_positions). Probabilities/extents are model internals,
-    so this stays rows-only; the GT-derivable slice is oracled separately in
-    x_position_chars."""
+    _recognized_with_positions). Probabilities/extents are model internals
+    but value-deterministic under the pinned seeded weights (same argument
+    as x_extract_cnn's logits), so the oracle is a committed golden parquet;
+    the GT-derivable slice is additionally SQL-oracled in x_position_chars."""
     rec = _recognized_with_positions(spark, sf_dir)
     return rec.select(
         "media_ref", "sentence", F.to_json("positions").alias("positions_json")
@@ -1168,10 +1169,14 @@ def _extract_cnn_over(with_png: DataFrame) -> DataFrame:
     return with_png.mapInPandas(run, schema=schema)
 
 
-def x_extract_cnn_oracle(sf_dir: str) -> str:
+def _golden(name: str) -> str:
     from calamari_spark.plans.golden import golden_oracle
 
-    return golden_oracle("x_extract_cnn")
+    return golden_oracle(name)
+
+
+def x_extract_cnn_oracle(sf_dir: str) -> str:
+    return _golden("x_extract_cnn")
 
 
 def x_fold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,10 +1371,12 @@ EXTRACTION_QUERIES = {
 
 # merged/subsumed shapes, still pytest-verified: the beam decode rides in
 # x_media_text now; x_recognize_positions is a strict superset serialization
-# of x_position_chars' oracled slice (kept for the extended-prediction sink)
+# of x_position_chars' oracled slice (kept for the extended-prediction sink;
+# its full positions tree is golden-fixture oracled — deterministic under
+# the pinned seeded weights)
 EXTRACTION_SHADOW_QUERIES = {
     "x_media_text_beam": _sfq(x_media_text_beam, x_media_text_beam_oracle),
-    "x_recognize_positions": (x_recognize_positions, None),
+    "x_recognize_positions": (x_recognize_positions, _golden("x_recognize_positions")),
     "x_span_integrity": _sfq(x_span_integrity, x_span_integrity_oracle),
     "x_media_text_wordlm_bigram": _sfq(
         x_media_text_wordlm_bigram, x_media_text_wordlm_bigram_oracle

@@ -367,9 +367,12 @@ MEDIA_QUERIES = {
     "x_multimodal_features": (x_multimodal_features, _golden("x_multimodal_features")),
 }
 
-# merged into x_image_stats / x_multimodal_features; still pytest-verified
+# merged into x_image_stats / x_multimodal_features; still pytest-verified.
+# The audio/video wide-schema variants are seeded-stub deterministic (same
+# argument as x_multimodal_features), so committed golden parquet is a
+# legitimate oracle rather than a rows-only check.
 MEDIA_SHADOW_QUERIES = {
     "x_image_resize": _sfq(x_image_resize, x_image_resize_oracle),
-    "x_audio_features": (x_audio_features, None),
-    "x_video_frames": (x_video_frames, None),
+    "x_audio_features": (x_audio_features, _golden("x_audio_features")),
+    "x_video_frames": (x_video_frames, _golden("x_video_frames")),
 }

@@ -30,17 +30,24 @@ GOLDEN_QUERIES = [
     # UAX#9 run reversal over a deterministic Latin->Hebrew synthesis: no
     # DuckDB analog exists, but the output is a pure function of the corpus
     "q_bidi_display",
+    # wide-schema shadow variants of x_multimodal_features (same seeded stub
+    # decode, so the same golden-fixture legitimacy argument applies) and the
+    # nested extended-prediction serialization (pinned seeded weights make the
+    # positions tree value-deterministic, like x_extract_cnn's logits)
+    "x_audio_features",
+    "x_video_frames",
+    "x_recognize_positions",
 ]
 
 
 def main() -> None:
     from calamari_spark.plans.golden import write_golden
-    from calamari_spark.plans.registry import QUERIES
+    from calamari_spark.plans.registry import QUERIES, SHADOW_QUERIES
     from calamari_spark.session import get_spark
 
     spark = get_spark("make_golden")
     for name in GOLDEN_QUERIES:
-        fn, _ = QUERIES[name]
+        fn, _ = QUERIES[name] if name in QUERIES else SHADOW_QUERIES[name]
         pdf = fn(spark, SF_DIR).toPandas()
         path = write_golden(name, pdf)
         print(f"{name}: {len(pdf)} rows -> {path}")

@@ -38,6 +38,12 @@ def test_spark_submit_py_files(tmp_path):
         "--n-buckets", "4",
     ]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
+    if r.returncode != 0:
+        # one retry: under the full suite the parent pytest JVM holds
+        # local[32]; the child JVM can lose the resource race and die on
+        # startup. A second child on a now-quieter box distinguishes that
+        # from a real job.py defect (which fails deterministically).
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     summary = json.loads(
         [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
