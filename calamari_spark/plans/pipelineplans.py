@@ -645,8 +645,143 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules
+# ---------------------------------------------------------------------------
+# The published document-level rule set from the Gopher corpus pipeline
+# (Rae et al. 2021, appendix A1.1 — also the basis of the RedPajama/Dolma
+# reimplementations): word-count bounds, mean-word-length bounds,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, and a distinct-stopword floor. Every rule is a pure per-row
+# Catalyst expression over the word array / docsplit lines — one map, no
+# shuffle, no UDF: at 10^12 documents this stage is scan-bound by
+# construction. Line rules use the shared 8-words-per-line docsplit so
+# both engines see identical "lines".
+
+# The published list is (the, be, to, of, and, that, have, with); the rule
+# is "contains >= GOPHER_MIN_STOPWORDS DISTINCT words from a designated
+# function-word list", and every production pipeline designates the list
+# per corpus/language. This synthetic corpus draws its function words from
+# {the, a} only, so 'a' joins the list to keep the floor discriminative
+# (hits 0/1/2 split 47/136/317 at sf0.01) — with the published list alone
+# max(hits)=1 and the rule would constant-reject, attesting nothing.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+GOPHER_MIN_WORDS = 50          # published bounds: 50 .. 100,000 words
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0       # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' / '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9   # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with '...'
+GOPHER_MIN_ALPHA_FRAC = 0.8    # words containing an alphabetic char
+GOPHER_MIN_STOPWORDS = 2       # distinct stopwords present
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calamari_spark.plans.docsplit import lines_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = _regularized_col(F.col("text"))
+    w = F.split(text, " ")
+    n_words = F.size(w)
+    total_wl = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = F.round(total_wl / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ell) / n_words, 6)
+    lines = lines_col(w)
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 6
+    )
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.when(padded.contains(f" {s} "), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _gopher_sql() -> str:
+    from calamari_spark.plans.docsplit import lines_cte
+
+    stop_sql = " + ".join(
+        f"(CASE WHEN contains(padded, ' {s} ') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(w, x -> length(x))) / len(w), 6)
+           AS mean_word_len,
+         round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               / len(w), 6) AS alpha_word_frac,
+         round(((length(t) - length(replace(t, '#', '')))
+                + (length(t) - length(replace(t, '...', ''))) / 3)
+               / len(w), 6) AS symbol_ratio,
+         {stop_sql} AS stopword_hits
+  FROM (SELECT doc_id, {_REG_SQL} AS t,
+               ' ' || {_REG_SQL} || ' ' AS padded,
+               string_split({_REG_SQL}, ' ') AS w
+        FROM documents)
+),
+l AS (
+  SELECT doc_id,
+         round(SUM(CASE WHEN regexp_matches(line, '^[-*•]')
+                        THEN 1 ELSE 0 END) / count(*), 6) AS bullet_line_frac,
+         round(SUM(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+               / count(*), 6) AS ellipsis_line_frac
+  FROM ({lines_cte(_REG_SQL)}) GROUP BY doc_id
+)
+SELECT m.doc_id, m.n_words, m.mean_word_len, m.alpha_word_frac,
+       m.symbol_ratio, l.bullet_line_frac, l.ellipsis_line_frac,
+       CAST(m.stopword_hits AS BIGINT) AS stopword_hits,
+       (m.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (m.mean_word_len BETWEEN {GOPHER_MIN_MEAN_WL} AND {GOPHER_MAX_MEAN_WL})
+       AND m.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND l.bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}
+       AND l.ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+       AND m.alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+       AND m.stopword_hits >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM m JOIN l ON m.doc_id = l.doc_id
+ORDER BY m.doc_id
+"""
+
+
+Q_GOPHER_SQL = _gopher_sql()
+
+
 PIPELINE_SHADOW_QUERIES = {
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
+    "q_gopher_rules": (q_gopher_rules, Q_GOPHER_SQL),
     "q_mixture_sample": (q_mixture_sample, Q_MIXTURE_SQL),
     "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
