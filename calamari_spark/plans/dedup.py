@@ -740,6 +740,112 @@ DEDUP_QUERIES = {
     "q_simhash": (q_simhash, _simhash_oracle()),
 }
 
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup
+# ---------------------------------------------------------------------------
+# The ExactSubstr method (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better") finds VERBATIM spans repeated across
+# documents — a different signal from every doc-level family above (a
+# boilerplate paragraph inside otherwise-distinct pages never trips
+# fingerprint/MinHash/SimHash). The published implementation builds a
+# corpus-wide suffix array; the distributed equivalent is hashed
+# fixed-stride windows: any repeated span of length >= WINDOW + STRIDE - 1
+# is guaranteed to contain at least one aligned shared window, so window
+# sharing lower-bounds span sharing. Plan shape at 10^12 docs: one substr
+# map (scan-bound; no fan_out — the exchange that follows repartitions
+# anyway), one shuffle on the window key with map-side partial agg, and a
+# left-semi probe back — NO pair join, so a hot boilerplate window raises
+# one group's count instead of creating a quadratic join partition (the
+# skew failure q_ngram_jaccard_pairs needs MAX_DF for). At corpus scale
+# the group key would be xxhash64(window) to cut shuffle bytes
+# (collision-accepted, as published); the oracled query groups by the raw
+# window so cross-engine equality is exact.
+
+SUBSTR_WINDOW = 64   # chars per window
+SUBSTR_STRIDE = 32   # window start stride
+
+
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = _regularized_col(F.col("text"))
+    L = F.length(text)
+    n_wins = F.floor((L - SUBSTR_WINDOW) / SUBSTR_STRIDE).cast("int") + 1
+    wins = (
+        docs.select("doc_id", text.alias("t"), n_wins.alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - 1),
+                    lambda i: F.substring(
+                        F.col("t"), i * SUBSTR_STRIDE + 1, SUBSTR_WINDOW
+                    ),
+                )
+            ).alias("win"),
+        )
+        .distinct()  # per-doc: internal repetition is q_repetition_stats' job
+    )
+    wins = materialize(wins)  # scanned by the df agg AND the semi-join probe
+    shared = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("win")
+    )
+    per_doc = (
+        wins.join(shared, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    # left joins from docs: a doc shorter than WINDOW has ZERO windows and
+    # must still appear (n_windows=0, NULL frac) — the repetition-stats
+    # inner-join lesson
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+            # 0.0 for "windows but none shared"; NULL only when the doc is
+            # too short to have any window at all
+            F.round(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_EXACT_SUBSTRING_SQL = f"""
+WITH t AS (SELECT doc_id, {_REG_SQL} AS t FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(u.i AS BIGINT) * {SUBSTR_STRIDE} + 1, {SUBSTR_WINDOW}) AS win
+  FROM t, UNNEST(range(0, (length(t) - {SUBSTR_WINDOW}) // {SUBSTR_STRIDE} + 1)) AS u(i)
+  WHERE length(t) >= {SUBSTR_WINDOW}
+),
+shared AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+  FROM wins WHERE win IN (SELECT win FROM shared) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(tt.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       round(COALESCE(p.n_dup_windows, 0) / tt.n_windows, 6) AS dup_span_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN totals tt ON d.doc_id = tt.doc_id
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 DEDUP_SHADOW_QUERIES = {
     "q_incremental_dedup": (q_incremental_dedup, _incremental_oracle()),
+    "q_exact_substring": (q_exact_substring, Q_EXACT_SUBSTRING_SQL),
 }

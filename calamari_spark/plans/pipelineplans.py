@@ -779,9 +779,134 @@ ORDER BY m.doc_id
 Q_GOPHER_SQL = _gopher_sql()
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+# Every crawl pipeline dedups its frontier/index on CANONICAL URLs: the
+# same page arrives as HTTP://WWW.Site.COM:80/docs/page1/?utm_source=x&v=1
+# and http://site.com/docs/page1?v=1. Canonicalization here is the
+# standard rule set — lowercase scheme/host, strip leading "www.", strip
+# the default port, strip the trailing path slash, drop the fragment,
+# drop utm_* tracking params while keeping meaningful ones — expressed as
+# a pure regexp chain (Java/RE2-common subset so one literal drives both
+# engines). The corpus has no URL column, so raw URLs are synthesized
+# deterministically from doc_id with every variation dimension exercised
+# (case, www, :80, trailing slash, utm, fragment) and canonical keys
+# designed to COLLIDE (host/path/param derive from small doc_id moduli):
+# the groupBy then proves real dedup, not a no-op. Plan shape at 10^12
+# URLs: one per-row regexp map + one shuffle on the canonical key with
+# map-side partial agg — identical to exact-dedup's fingerprint groupBy.
+
+
+def _raw_url_col():
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, "HTTP://").otherwise("http://")
+    www = (
+        F.when(d % 3 == 0, "WWW.")
+        .when(d % 3 == 1, "www.")
+        .otherwise("")
+    )
+    host = F.concat(
+        F.when(d % 5 == 0, "Site").otherwise("site"),
+        (d % 20).cast("string"),
+        F.lit(".Example.com"),
+    )
+    port = F.when(d % 4 == 0, ":80").otherwise("")
+    path = F.concat(
+        F.lit("/docs/page"),
+        (d % 5).cast("string"),
+        F.when(d % 6 == 0, "/").otherwise(""),
+    )
+    query = F.concat(
+        F.lit("?utm_source=feed"),
+        (d % 7).cast("string"),
+        F.lit("&v="),
+        (d % 2).cast("string"),
+    )
+    frag = F.when(d % 8 == 0, "#section2").otherwise("")
+    return F.concat(scheme, www, host, port, path, query, frag)
+
+
+def _canonical_url_col(url):
+    host_port = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host_port, r":80$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    v = F.regexp_extract(url, r"[?&]v=([0-9]+)", 1)
+    return F.concat(F.lit("http://"), host, path, F.lit("?v="), v)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    urls = docs.select(
+        "doc_id",
+        _raw_url_col().alias("raw_url"),
+    ).withColumn("canonical_url", _canonical_url_col(F.col("raw_url")))
+    groups = urls.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return (
+        urls.join(groups, "canonical_url")
+        .select(
+            "doc_id",
+            "raw_url",
+            "canonical_url",
+            "group_size",
+            (F.col("doc_id") == F.col("keeper_id")).alias("keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RAW_URL_SQL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END) || (doc_id % 20)
+  || '.Example.com'
+  || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+  || '/docs/page' || (doc_id % 5)
+  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+  || '?utm_source=feed' || (doc_id % 7) || '&v=' || (doc_id % 2)
+  || (CASE WHEN doc_id % 8 = 0 THEN '#section2' ELSE '' END)
+"""
+
+Q_URL_DEDUP_SQL = f"""
+WITH urls AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         'http://'
+         || regexp_replace(regexp_replace(
+              lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+              ':80$', ''), '^www\\.', '')
+         || regexp_replace(
+              regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+              '/$', '')
+         || '?v=' || regexp_extract(raw_url, '[?&]v=([0-9]+)', 1)
+           AS canonical_url
+  FROM urls
+),
+groups AS (
+  SELECT canonical_url, CAST(count(*) AS BIGINT) AS group_size,
+         min(doc_id) AS keeper_id
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.raw_url, c.canonical_url, g.group_size,
+       c.doc_id = g.keeper_id AS keeper
+FROM canon c JOIN groups g ON c.canonical_url = g.canonical_url
+ORDER BY c.doc_id
+"""
+
+
 PIPELINE_SHADOW_QUERIES = {
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_SQL),
+    "q_url_dedup": (q_url_dedup, Q_URL_DEDUP_SQL),
     "q_mixture_sample": (q_mixture_sample, Q_MIXTURE_SQL),
     "q_repetition_stats": (q_repetition_stats, Q_REPETITION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SQL),
