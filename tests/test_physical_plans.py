@@ -191,3 +191,41 @@ def test_extraction_ocr_stage_partition_count(spark):
            f"hashpartitioning(media_ref#" in _plan(rec)
     # and the recognize stage itself is the only Python node
     assert _plan(rec).count("MapInPandas") == 1
+
+
+def test_gopher_rules_is_pure_map(spark):
+    """Quality rules are per-row expressions: no Python nodes, and the only
+    exchange is the display sort — at 10^12 docs the stage is scan-bound."""
+    from calamari_spark.plans.pipelineplans import q_gopher_rules
+
+    plan = _plan(q_gopher_rules(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # rangepartitioning for the orderBy
+
+
+def test_exact_substring_has_no_pair_join(spark):
+    """ExactSubstr aggregates per window key and semi-probes back: a plan
+    with a shuffled equi-join of the window table against ITSELF on win
+    (other than the left-semi probe) would be the quadratic-skew shape the
+    operator exists to avoid."""
+    from calamari_spark.plans.dedup import q_exact_substring
+
+    plan = _plan(q_exact_substring(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one semi join on the window key, never an inner pair join
+    assert plan.count("LeftSemi") == 1
+    win_joins = [
+        seg for seg in plan.splitlines()
+        if "Join" in seg and "win" in seg and "LeftSemi" not in seg
+    ]
+    assert not win_joins, win_joins
+
+
+def test_url_dedup_group_join_is_partial_agged(spark):
+    """The canonical-key groupBy must partial-aggregate map-side (the only
+    corpus-scaled exchange), and canonicalization itself stays JVM-side."""
+    from calamari_spark.plans.pipelineplans import q_url_dedup
+
+    plan = _plan(q_url_dedup(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
