@@ -68,6 +68,7 @@ DATASCALE_QUERIES = [
     "q_dedup_clusters",
     "q_simhash",
     "q_ngram_jaccard_pairs",
+    "q_exact_substring",
     "q_ann_ivf_topk",
     "q_embedding_neardup_lsh",
     "q_cer_eval",
