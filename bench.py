@@ -305,7 +305,9 @@ def main() -> None:
         spark, ["q_pagerank", "q_incremental_dedup", "q_mixture_sample"], SF_DIR
     )
     out["pipeline"] = run_queries(
-        spark, ["q_gopher_rules", "q_exact_substring", "q_url_dedup"], SF_DIR
+        spark,
+        ["q_gopher_rules", "q_exact_substring", "q_url_dedup", "q_bpe_pair_counts"],
+        SF_DIR,
     )
 
     # data-scale point (VERDICT r3 task #6): the scale-critical queries once

@@ -134,6 +134,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+BPE_PAIR_TOPN = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge round of tokenizer TRAINING: corpus-wide
+    frequencies of adjacent character pairs inside pre-tokenized words
+    (SentencePiece/HF trainers compute exactly this table to pick each
+    merge). The 100 TB shape is two-stage: the corpus collapses to the
+    distinct-word frequency table first (one shuffle with map-side partial
+    agg — the token explosion never crosses the exchange unaggregated),
+    then pairs explode over the DISTINCT-word table, which is tiny next to
+    the corpus (Heaps' law), weighted by word frequency. Top-N with a full
+    deterministic tie order (count DESC, pair ASC) so both engines cut the
+    same prefix."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = _regularized_col(F.col("text"))
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(clean, F.lit(_BPE_PATTERN), 0)).alias("tok")
+    )
+    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("wf"))
+    pairs = words.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, 2),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_PAIR_TOPN)
+    )
+
+
+Q_BPE_PAIR_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all({_REG_SQL}, '{_BPE_PATTERN_SQL}')) AS tok
+  FROM documents
+),
+words AS (SELECT tok, count(*) AS wf FROM toks GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, CAST(u.i AS BIGINT), 2) AS pair, wf
+  FROM words, UNNEST(range(1, length(tok))) AS u(i)
+  WHERE length(tok) >= 2
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_PAIR_TOPN}
+"""
+
+
 def _langid_cols():
     """Marker-token language-ID expressions shared by q_quality_score (the
     merged driver query) and the standalone q_langid (shadow)."""
@@ -887,6 +942,7 @@ ORDER BY doc_id, href
 # driver's attestation window is 50 rows, so near-duplicate shapes share one
 TEXT_SHADOW_QUERIES = {
     "q_bpe_tokens": (q_bpe_tokens, Q_BPE_SQL),
+    "q_bpe_pair_counts": (q_bpe_pair_counts, Q_BPE_PAIR_SQL),
     "q_langid": (q_langid, Q_LANGID_SQL),
     "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "q_distinct_chars": (q_distinct_chars, Q_DISTINCT_CHARS_SQL),
