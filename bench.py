@@ -279,12 +279,15 @@ def main() -> None:
             t = run_queries(spark, ["q_dedup_clusters"], SF_DIR, reps=1).get(
                 "q_dedup_clusters"
             )
-            t_local = min(x for x in (t_local, t) if x is not None)
+            # min over possibly-None pairs: run_queries silently skips
+            # unregistered names, and min() on an empty generator would
+            # kill the whole bench after the headline numbers are in
+            t_local = min((x for x in (t_local, t) if x is not None), default=None)
             os.environ[BACKEND_ENV] = "reliable"
             t = run_queries(spark, ["q_dedup_clusters"], SF_DIR, reps=1).get(
                 "q_dedup_clusters"
             )
-            t_rel = min(x for x in (t_rel, t) if x is not None)
+            t_rel = min((x for x in (t_rel, t) if x is not None), default=None)
     finally:
         if prior_backend is None:
             os.environ.pop(BACKEND_ENV, None)

@@ -748,11 +748,21 @@ DEDUP_QUERIES = {
 # documents — a different signal from every doc-level family above (a
 # boilerplate paragraph inside otherwise-distinct pages never trips
 # fingerprint/MinHash/SimHash). The published implementation builds a
-# corpus-wide suffix array; the distributed equivalent is hashed
-# fixed-stride windows: any repeated span of length >= WINDOW + STRIDE - 1
-# is guaranteed to contain at least one aligned shared window, so window
-# sharing lower-bounds span sharing. Plan shape at 10^12 docs: one substr
-# map (scan-bound; no fan_out — the exchange that follows repartitions
+# corpus-wide suffix array; the distributed equivalent is
+# CONTENT-DEFINED anchored windows (the rsync/CDC chunking idea): a
+# position anchors a window iff a rolling hash of the SEED chars starting
+# there is 0 mod STRIDE, so identical spans produce identical anchor
+# positions REGARDLESS of where they sit in each document. (A first cut
+# used doc-aligned fixed-stride windows; those only match when the two
+# copies agree mod STRIDE — a 6-char offset shift silently hides every
+# duplicate, which a review counterexample proved.) Detection is
+# probabilistic in span length: a repeated span of WINDOW + m chars is
+# caught unless none of its m+1 anchor candidates fire, i.e. with
+# probability 1 - (1 - 1/STRIDE)^(m+1) — 96% at 2x WINDOW, 99.9% at
+# 4x WINDOW (a winnowing argmin would make the guarantee hard at extra
+# plan complexity; the published suffix array is exact but not
+# distributable). Plan shape at 10^12 docs: one anchor+substr map
+# (scan-bound; no fan_out — the exchange that follows repartitions
 # anyway), one shuffle on the window key with map-side partial agg, and a
 # left-semi probe back — NO pair join, so a hot boilerplate window raises
 # one group's count instead of creating a quadratic join partition (the
@@ -762,25 +772,37 @@ DEDUP_QUERIES = {
 # window so cross-engine equality is exact.
 
 SUBSTR_WINDOW = 64   # chars per window
-SUBSTR_STRIDE = 32   # window start stride
+SUBSTR_STRIDE = 32   # expected gap between content-defined anchors
+SUBSTR_SEED = 4      # chars hashed to decide "is this position an anchor"
+
+
+def _anchor_hash(t, p):
+    """Polynomial hash of the SEED chars at 1-based position p — plain
+    31-base arithmetic over code points so Spark and DuckDB compute the
+    IDENTICAL value (no engine-internal hash involved). Long arithmetic:
+    codepoints can reach 0x10FFFF and 31^3 * 1114111 overflows int32."""
+    h = F.ascii(F.substring(t, p, 1)).cast("long")
+    for k in range(1, SUBSTR_SEED):
+        h = h * 31 + F.ascii(F.substring(t, p + k, 1)).cast("long")
+    return h
 
 
 def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     text = _regularized_col(F.col("text"))
-    L = F.length(text)
-    n_wins = F.floor((L - SUBSTR_WINDOW) / SUBSTR_STRIDE).cast("int") + 1
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.length("t") - SUBSTR_WINDOW + 1),
+        lambda p: _anchor_hash(F.col("t"), p) % SUBSTR_STRIDE == 0,
+    )
     wins = (
-        docs.select("doc_id", text.alias("t"), n_wins.alias("n"))
-        .filter(F.col("n") >= 1)
+        docs.select("doc_id", text.alias("t"))
+        .filter(F.length("t") >= SUBSTR_WINDOW)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.col("n") - 1),
-                    lambda i: F.substring(
-                        F.col("t"), i * SUBSTR_STRIDE + 1, SUBSTR_WINDOW
-                    ),
+                    anchors,
+                    lambda p: F.substring(F.col("t"), p, SUBSTR_WINDOW),
                 )
             ).alias("win"),
         )
@@ -820,13 +842,23 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# explicit left-fold parenthesization ((a*31+b)*31+c)*31+d — must mirror
+# _anchor_hash's fold exactly, not SQL's default a*31 + b*31 + ... precedence
+_ANCHOR_HASH_SQL = "CAST(ascii(substr(t, CAST(u.p AS BIGINT), 1)) AS BIGINT)"
+for _k in range(1, SUBSTR_SEED):
+    _ANCHOR_HASH_SQL = (
+        f"(({_ANCHOR_HASH_SQL}) * 31"
+        f" + ascii(substr(t, CAST(u.p AS BIGINT) + {_k}, 1)))"
+    )
+
 Q_EXACT_SUBSTRING_SQL = f"""
 WITH t AS (SELECT doc_id, {_REG_SQL} AS t FROM documents),
 wins AS (
   SELECT DISTINCT doc_id,
-         substr(t, CAST(u.i AS BIGINT) * {SUBSTR_STRIDE} + 1, {SUBSTR_WINDOW}) AS win
-  FROM t, UNNEST(range(0, (length(t) - {SUBSTR_WINDOW}) // {SUBSTR_STRIDE} + 1)) AS u(i)
+         substr(t, CAST(u.p AS BIGINT), {SUBSTR_WINDOW}) AS win
+  FROM t, UNNEST(range(1, length(t) - {SUBSTR_WINDOW} + 2)) AS u(p)
   WHERE length(t) >= {SUBSTR_WINDOW}
+    AND {_ANCHOR_HASH_SQL} % {SUBSTR_STRIDE} = 0
 ),
 shared AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
 totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id),

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calamari_spark.functions.text import regularize_column, regularize_str
+from calamari_spark.plans.golden import golden_oracle as _golden
 
 # ---------------------------------------------------------------------------
 # corpus materialization (deterministic; committed fixtures for oracle SFs)
@@ -1167,12 +1168,6 @@ def _extract_cnn_over(with_png: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "sentence", "out_len", "n_frames"])
 
     return with_png.mapInPandas(run, schema=schema)
-
-
-def _golden(name: str) -> str:
-    from calamari_spark.plans.golden import golden_oracle
-
-    return golden_oracle(name)
 
 
 def x_extract_cnn_oracle(sf_dir: str) -> str:

@@ -13,6 +13,7 @@ from calamari_spark.functions.multimodal import (
     resize_images,
     sample_video_frames,
 )
+from calamari_spark.plans.golden import golden_oracle as _golden
 
 N_CLIPS = 16
 
@@ -345,12 +346,6 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_mean").alias("value"),
     )
     return a_long.unionByName(v_long).orderBy("media_ref", "feature")
-
-
-def _golden(name):
-    from calamari_spark.plans.golden import golden_oracle
-
-    return golden_oracle(name)
 
 
 def _sfq(fn, oracle_fn=None):

@@ -702,11 +702,16 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsis_frac = F.round(
         F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 6
     )
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    stop_hits = None
-    for s in GOPHER_STOPWORDS:
-        hit = F.when(padded.contains(f" {s} "), 1).otherwise(0)
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # EXACT word membership (the published rule counts distinct stopwords
+    # present): intersect the distinct lowered word set with the list —
+    # substring containment (' the ') misses capitalized or
+    # punctuation-adjacent occurrences and undercounts
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
     keep = (
         n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & mean_wl.between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
@@ -732,9 +737,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gopher_sql() -> str:
     from calamari_spark.plans.docsplit import lines_cte
 
-    stop_sql = " + ".join(
-        f"(CASE WHEN contains(padded, ' {s} ') THEN 1 ELSE 0 END)"
-        for s in GOPHER_STOPWORDS
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stop_sql = (
+        "len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),"
+        f" [{stop_list}]))"
     )
     return f"""
 WITH m AS (
@@ -749,7 +755,6 @@ WITH m AS (
                / len(w), 6) AS symbol_ratio,
          {stop_sql} AS stopword_hits
   FROM (SELECT doc_id, {_REG_SQL} AS t,
-               ' ' || {_REG_SQL} || ' ' AS padded,
                string_split({_REG_SQL}, ' ') AS w
         FROM documents)
 ),

@@ -272,3 +272,39 @@ def test_sweep_spares_fresh_foreign_scratch(spark, tmp_path, monkeypatch):
     removed = sweep_materialize_scratch(spark)
     assert removed == 2  # own + aged foreign
     assert fresh.exists() and not aged.exists() and not own.exists()
+
+
+def test_exact_substring_detects_misaligned_spans(spark, tmp_path):
+    """Regression: a verbatim span repeated at DIFFERENT offsets mod STRIDE
+    in two documents must still be detected. The first-cut doc-aligned
+    fixed-stride windows missed exactly this (64- vs 70-char prefixes put
+    the same span on different 32-char grids -> zero shared windows);
+    content-defined anchors fire at the same positions INSIDE the span
+    regardless of the surrounding offset."""
+    import random
+
+    from calamari_spark.plans.dedup import q_exact_substring
+
+    rng = random.Random(7)
+
+    def salad(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+    span = salad(400)  # long enough that an anchor inside is ~certain
+    rows = [
+        (0, salad(64) + span, "en", "synth", 464),
+        (1, salad(70) + span, "en", "synth", 470),  # offset differs mod 32
+        (2, salad(500), "en", "synth", 500),  # control: no shared span
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in q_exact_substring(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_dup_windows"] > 0, "span at offset 64 not detected"
+    assert out[1]["n_dup_windows"] > 0, "span at offset 70 not detected"
+    assert out[2]["n_dup_windows"] == 0, "control doc false positive"

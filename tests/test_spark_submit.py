@@ -37,12 +37,20 @@ def test_spark_submit_py_files(tmp_path):
         "--out", str(out_dir),
         "--n-buckets", "4",
     ]
+    # markers of the child JVM losing the resource race against the parent
+    # pytest JVM (which holds local[32] during the full suite) — retried
+    # once; anything else (a real job.py defect) must fail immediately so
+    # the retry cannot mask an intermittent product bug
+    _STARTUP_RACE = (
+        "OutOfMemoryError",
+        "Cannot allocate memory",
+        "Could not reserve enough space",
+        "error occurred during initialization",
+        "Connection refused",
+        "Address already in use",
+    )
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
-    if r.returncode != 0:
-        # one retry: under the full suite the parent pytest JVM holds
-        # local[32]; the child JVM can lose the resource race and die on
-        # startup. A second child on a now-quieter box distinguishes that
-        # from a real job.py defect (which fails deterministically).
+    if r.returncode != 0 and any(m in (r.stderr or "") for m in _STARTUP_RACE):
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=480, cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     summary = json.loads(
