@@ -750,16 +750,20 @@ DEDUP_QUERIES = {
 # fingerprint/MinHash/SimHash). The published implementation builds a
 # corpus-wide suffix array; the distributed equivalent is
 # CONTENT-DEFINED anchored windows (the rsync/CDC chunking idea): a
-# position anchors a window iff a rolling hash of the SEED chars starting
-# there is 0 mod STRIDE, so identical spans produce identical anchor
-# positions REGARDLESS of where they sit in each document. (A first cut
-# used doc-aligned fixed-stride windows; those only match when the two
-# copies agree mod STRIDE — a 6-char offset shift silently hides every
-# duplicate, which a review counterexample proved.) Detection is
-# probabilistic in span length: a repeated span of WINDOW + m chars is
-# caught unless none of its m+1 anchor candidates fire, i.e. with
-# probability 1 - (1 - 1/STRIDE)^(m+1) — 96% at 2x WINDOW, 99.9% at
-# 4x WINDOW (a winnowing argmin would make the guarantee hard at extra
+# position anchors a window iff it starts a word AND a hash of the SEED
+# chars there is 0 mod ANCHOR_MOD, so identical spans produce identical
+# anchor positions REGARDLESS of where they sit in each document. (A
+# first cut used doc-aligned fixed-stride windows; those only match when
+# the two copies agree mod stride — a 6-char offset shift silently hides
+# every duplicate, which a review counterexample proved. A second cut
+# hashed EVERY position; the word-start pre-filter is a short-circuited
+# cheap test that cuts hash evaluations ~6x — measured 6.6 s -> see
+# BASELINE.md — at the cost of assuming space-tokenizable text, the same
+# assumption every text operator in this repo makes.) Detection is
+# probabilistic in span length: a repeated span of WINDOW + m extra chars
+# contains ~m/6 word starts, each anchoring with probability 1/ANCHOR_MOD
+# — P(caught) = 1 - (1 - 1/4)^(m/6), 96% at +64 chars (2x WINDOW), 99.9%
+# at +160 (a winnowing argmin would make the guarantee hard at extra
 # plan complexity; the published suffix array is exact but not
 # distributable). Plan shape at 10^12 docs: one anchor+substr map
 # (scan-bound; no fan_out — the exchange that follows repartitions
@@ -771,9 +775,10 @@ DEDUP_QUERIES = {
 # (collision-accepted, as published); the oracled query groups by the raw
 # window so cross-engine equality is exact.
 
-SUBSTR_WINDOW = 64   # chars per window
-SUBSTR_STRIDE = 32   # expected gap between content-defined anchors
-SUBSTR_SEED = 4      # chars hashed to decide "is this position an anchor"
+SUBSTR_WINDOW = 64     # chars per window
+SUBSTR_ANCHOR_MOD = 4  # a word start anchors iff seed-hash % MOD == 0;
+                       # expected anchor gap ~ (mean word len + 1) * MOD
+SUBSTR_SEED = 4        # chars hashed to decide "does this word start anchor"
 
 
 def _anchor_hash(t, p):
@@ -790,9 +795,17 @@ def _anchor_hash(t, p):
 def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     text = _regularized_col(F.col("text"))
+    # word-start test first: codegen short-circuits the AND, so the 4-char
+    # hash only evaluates at ~1/6 of positions. At p=1 the OR's first arm
+    # decides in both engines (Spark substr(t,0,1) clamps to the first char,
+    # DuckDB returns '' — either way the p==1 term wins), so the expression
+    # is engine-safe without special-casing.
     anchors = F.filter(
         F.sequence(F.lit(1), F.length("t") - SUBSTR_WINDOW + 1),
-        lambda p: _anchor_hash(F.col("t"), p) % SUBSTR_STRIDE == 0,
+        lambda p: (
+            (p == 1) | (F.substring(F.col("t"), p - 1, 1) == " ")
+        )
+        & (_anchor_hash(F.col("t"), p) % SUBSTR_ANCHOR_MOD == 0),
     )
     wins = (
         docs.select("doc_id", text.alias("t"))
@@ -858,7 +871,8 @@ wins AS (
          substr(t, CAST(u.p AS BIGINT), {SUBSTR_WINDOW}) AS win
   FROM t, UNNEST(range(1, length(t) - {SUBSTR_WINDOW} + 2)) AS u(p)
   WHERE length(t) >= {SUBSTR_WINDOW}
-    AND {_ANCHOR_HASH_SQL} % {SUBSTR_STRIDE} = 0
+    AND (u.p = 1 OR substr(t, CAST(u.p AS BIGINT) - 1, 1) = ' ')
+    AND {_ANCHOR_HASH_SQL} % {SUBSTR_ANCHOR_MOD} = 0
 ),
 shared AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
 totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id),
