@@ -103,6 +103,19 @@ def _resize_area(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return wy @ f @ wx.T
 
 
+def scale_to_h_dims(h: int, w: int, target_height: int) -> tuple:
+    """(height, width) scale_to_h would produce, WITHOUT resampling any
+    pixels — the single geometry definition shared by scale_to_h and the
+    dimension-only consumers (x_image_stats needs the resize geometry of
+    every line but discards the pixels; resampling them was pure waste,
+    ~4 ms/line). Python round() = round-half-even, same as the oracle."""
+    if h == target_height:
+        return h, w
+    if h == 0 or w == 0:
+        return target_height, w
+    return target_height, max(int(round((target_height / h) * w)), 1)
+
+
 def scale_to_h(img: np.ndarray, target_height: int) -> np.ndarray:
     """Resize keeping aspect; area interpolation down, bilinear up
     (reference: scale_to_height_processor.py:35-53)."""
@@ -113,7 +126,7 @@ def scale_to_h(img: np.ndarray, target_height: int) -> np.ndarray:
     if h == 0 or img.size == 0:
         return np.zeros((target_height, w) + img.shape[2:], dtype=img.dtype)
     scale = target_height / h
-    target_width = max(int(round(scale * w)), 1)
+    _, target_width = scale_to_h_dims(h, w, target_height)
     if scale <= 1:
         out = _resize_area(img, target_height, target_width)
     else:

@@ -16,7 +16,7 @@ text) so the two methods are comparable on the same corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calamari_spark.plans.common import materialize
@@ -34,43 +34,57 @@ def banded_candidates(bands: DataFrame, id_col: str, out_a: str, out_b: str,
                       cap: int = HOT_BUCKET_CAP) -> DataFrame:
     """Candidate pairs from (id, band, key) rows with a hot-bucket guard.
 
-    Buckets of size <= cap self-join as usual. A DEGENERATE bucket (mass-
-    duplicated boilerplate: at 10^12 docs one hot band key otherwise makes
-    an O(b^2) join partition before distinct — the classic skew blow-up
-    that MAX_DF already prevents on the shingle join) instead emits STAR
-    pairs to the bucket's min id: b-1 edges, same connected components.
-    The star keeps every bucket member reachable from the minimum, so
-    downstream cluster resolution (connected_components) is unchanged for
-    true duplicate clusters — their pairwise similarity is maximal, so the
-    post-join similarity filter passes star edges exactly like full edges.
-    Pair-level RECALL above the cap is intentionally reduced (b-1 of
-    b(b-1)/2 pairs); the DuckDB oracle implements the identical scheme.
-    Bucket stats come from one window over (band, key) — the same
-    partitioning the self-join shuffles to anyway."""
-    w = W.partitionBy("band", "key")
-    # materialized: referenced by the normal self-join (both sides) AND the
-    # star-pair branch — three window executions otherwise (see materialize)
-    stats = materialize(
-        bands.select(
-            F.col(id_col),
-            "band",
-            "key",
-            F.count(F.lit(1)).over(w).alias("bsize"),
-            F.min(id_col).over(w).alias("bmin"),
+    Buckets of size <= cap emit every ordered pair; a DEGENERATE bucket
+    (mass-duplicated boilerplate: at 10^12 docs one hot band key would
+    otherwise make an O(b^2) join partition before distinct — the classic
+    skew blow-up that MAX_DF already prevents on the shingle join) instead
+    emits STAR pairs to the bucket's min id: b-1 edges, same connected
+    components. The star keeps every bucket member reachable from the
+    minimum, so downstream cluster resolution (connected_components) is
+    unchanged for true duplicate clusters — their pairwise similarity is
+    maximal, so the post-join similarity filter passes star edges exactly
+    like full edges. Pair-level RECALL above the cap is intentionally
+    reduced (b-1 of b(b-1)/2 pairs); the DuckDB oracle implements the
+    identical scheme.
+
+    r6 plan: ONE groupBy(band, key) with an in-array pair expansion
+    replaces the previous window + materialize + two-sided self-join +
+    union (r5 shape: 1 window exchange + an eager localCheckpoint job + 2
+    join exchanges; now: 1 exchange + the distinct). Results are
+    value-identical (verified exceptAll-empty both directions at sf0.1 and
+    on the embedding path, tests/test_dedup_clusters.py). Per-group state
+    is the bucket's sorted id array: pair expansion stays <= C(cap,2) per
+    normal bucket; the star branch holds one array per degenerate bucket —
+    bounded in expectation by band-key entropy and by the exact-dedup pass
+    every production pipeline runs first (identical docs never reach LSH),
+    whereas the old window shape buffered the same bucket per-partition
+    with sorter spill. The cap itself remains the O(b^2) guard."""
+    grouped = bands.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    ids = F.col("ids")
+    n = F.size(ids)
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(ids[i].alias("a"), y.alias("b")),
+            ),
         )
     )
-    normal = stats.filter(F.col("bsize") <= cap).select(id_col, "band", "key")
-    a, b = normal.alias("a"), normal.alias("b")
-    normal_pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
-    star_pairs = stats.filter(
-        (F.col("bsize") > cap) & (F.col(id_col) != F.col("bmin"))
-    ).select(F.col("bmin").alias(out_a), F.col(id_col).alias(out_b))
-    return normal_pairs.unionByName(star_pairs).distinct()
+    star_pairs = F.transform(
+        F.slice(ids, 2, n),
+        lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
+    )
+    return (
+        grouped.filter(n >= 2)
+        .select(
+            F.explode(F.when(n <= cap, all_pairs).otherwise(star_pairs)).alias("p")
+        )
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
+        .distinct()
+    )
 
 
 def banded_candidates_sql(id_col: str, out_a: str, out_b: str,
@@ -96,35 +110,6 @@ cand AS (
 )"""
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Word 3-gram shingles, one row per OCCURRENCE — deliberately no
-    distinct: the only consumer is the min-hash signature aggregation, and
-    min over a multiset equals min over its support, so deduplicating here
-    would buy nothing and cost a full shuffle of every shingle row (the
-    oracle's DISTINCT is likewise result-neutral)."""
-    from calamari_spark.plans.common import fan_out
-
-    # pin the regularize+shingle map's parallelism (see fan_out: a
-    # single-file scan otherwise runs the whole kernel on one core); every
-    # downstream stage (minhash agg, jaccard join) inherits the spread
-    words = fan_out(docs, "doc_id").select(
-        "doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w")
-    )
-    n = F.size("w") - 2
-    return (
-        words.filter(n > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
-                )
-            ).alias("sh"),
-        )
-    )
-
-
 def _shingles_sql(table: str = "documents") -> str:
     return f"""
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -146,13 +131,43 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     scan probes it per wave) and the shingle+16-md5 pipeline is the
     expensive half. In a production pipeline this is the table the
     snapshot sink persists once per crawl so later waves never recompute
-    it (see q_incremental_dedup)."""
+    it (see q_incremental_dedup).
+
+    r6 plan: the signature is a PURE PER-DOC MAP — each component is
+    array_min over the per-doc shingle array's md5s (min over a group ==
+    array_min over the same multiset; identical md5 inputs, identical
+    binary string ordering — verified exceptAll-empty vs the r5 groupBy
+    shape). The r5 shape exploded one row per shingle occurrence and
+    shuffled ~50 shingle rows per doc into a 16-column min aggregation;
+    now ZERO shuffle and no explode — the signature stage is scan-bound,
+    which is exactly what a 10^12-doc signature pass must be. fan_out only
+    spreads the scan for kernel parallelism (single-file scans at bench
+    SFs)."""
+    from calamari_spark.plans.common import fan_out
+
+    words = fan_out(docs, "doc_id").select(
+        "doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w")
+    )
+    n = F.size("w") - 2
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]
+        ),
+    )
     return materialize(
-        _shingles(docs).groupBy("doc_id").agg(
+        words.filter(n > 0)
+        .select("doc_id", shingle_arr.alias("shs"))
+        .select(
+            "doc_id",
             *[
-                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+                F.array_min(
+                    F.transform(
+                        "shs", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+                    )
+                ).alias(f"h{i}")
                 for i in range(N_HASHES)
-            ]
+            ],
         )
     )
 
@@ -184,9 +199,10 @@ def band_keys(sig: DataFrame) -> DataFrame:
 def minhash_pairs(docs: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH candidate join.
 
-    One shuffle builds signatures (groupBy doc), one shuffle buckets bands,
-    one joins candidates back to signatures. No cross join anywhere, and
-    degenerate band buckets are star-reduced (banded_candidates)."""
+    Signatures build with ZERO shuffle (per-doc map, see
+    minhash_signatures), one shuffle buckets bands into candidate pairs
+    (banded_candidates), one joins candidates back to signatures. No cross
+    join anywhere, and degenerate band buckets are star-reduced."""
     sig = minhash_signatures(docs)
     bands = band_keys(sig)
 
@@ -536,45 +552,51 @@ SIMHASH_BITS = 16
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from word-level md5 bit votes: bit j is
-    1 iff more (distinct) words vote 1 than 0 at position j. One groupBy.
-    Also carries the whole-document md5 fingerprint (q_fingerprint merged
-    here — both are per-doc signature columns; the standalone query remains
-    in SHADOW_QUERIES), joined back from the doc scan as a pure map —
-    broadcast-free because both sides are keyed by doc_id pre-shuffle."""
+    1 iff more (distinct) words vote 1 than 0 at position j. Also carries
+    the whole-document md5 fingerprint (q_fingerprint merged here — both
+    are per-doc signature columns; the standalone query remains in
+    SHADOW_QUERIES).
+
+    r6 plan: PURE PER-DOC MAP. The r5 shape exploded words, ran a global
+    distinct (a full shuffle of every word occurrence), a 16-column groupBy
+    and a doc_id join; but the distinct is per (doc_id, word), i.e. exactly
+    array_distinct of the per-doc word array, and the +/-1 vote sums are
+    integer counts over that array — so the whole signature is computable
+    per row with ZERO shuffle (verified exceptAll-empty vs the r5 shape).
+    One md5+hex-parse per distinct word materializes in the hs array, so
+    per-bit votes are shift/mask counts over it. s_j = 2*ones_j - n_words
+    is value-identical to summing +/-1 votes. Docs with no non-empty word
+    are dropped exactly as the r5 inner join dropped them. fan_out spreads
+    the scan (single parquet file at bench SFs = one partition otherwise)."""
+    from calamari_spark.plans.common import fan_out
+
     docs = load_table(spark, "documents", sf_dir)
-    # (no fan_out: the md5/h16 parse runs AFTER the distinct's shuffle, so
-    # it is already parallel; spreading the cheap regularize+explode costs
-    # an extra exchange for nothing — A/B'd slower at sf0.1)
-    words = docs.select(
+    clean = _regularized_col(F.col("text"))
+    words_arr = F.array_remove(F.array_distinct(F.split(clean, " ")), "")
+    h16 = lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int")  # noqa: E731
+    per_doc = fan_out(docs, "doc_id").select(
         "doc_id",
-        F.explode(F.split(_regularized_col(F.col("text")), " ")).alias("word"),
-    ).filter(F.col("word") != "").distinct()
-    # ONE hex parse per word (the md5's first 16 bits as an int) — h16
-    # materializes in the pre-aggregate projection, so the md5 runs once
-    # per word instead of once per bit; per-bit votes become shift/mask
-    # terms inside the aggregate. vote sum s_j = 2*ones_j - n_words is
-    # value-identical to summing +/-1 votes.
-    h16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
-    per_word = words.select("doc_id", h16.alias("h16"))
-    agg = per_word.groupBy("doc_id").agg(
-        *[
-            (
-                F.sum(F.shiftright(F.col("h16"), SIMHASH_BITS - 1 - j).bitwiseAND(F.lit(1))) * 2
-                - F.count(F.lit(1))
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+        F.transform(words_arr, h16).alias("hs"),
+        F.md5(F.lower(clean)).alias("fingerprint"),
     )
+    n = F.size("hs")
+    ones = [
+        F.size(
+            F.filter(
+                "hs",
+                lambda h: F.shiftright(h, SIMHASH_BITS - 1 - j).bitwiseAND(F.lit(1))
+                == 1,
+            )
+        )
+        for j in range(SIMHASH_BITS)
+    ]
     simhash = sum(
-        (F.col(f"s{j}") > 0).cast("int") * F.lit(1 << (SIMHASH_BITS - 1 - j))
+        ((ones[j] * 2 - n) > 0).cast("int") * F.lit(1 << (SIMHASH_BITS - 1 - j))
         for j in range(SIMHASH_BITS)
     )
-    fp = docs.select(
-        "doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fingerprint")
-    )
     return (
-        agg.select("doc_id", simhash.cast("int").alias("simhash"))
-        .join(fp, "doc_id")
+        per_doc.filter(n > 0)
+        .select("doc_id", simhash.cast("int").alias("simhash"), "fingerprint")
         .orderBy("doc_id")
     )
 

@@ -29,6 +29,7 @@ def x_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as _pd
 
+    from calamari_spark.plans.common import fan_out
     from calamari_spark.plans.extraction import load_interleaved
 
     _, media = load_interleaved(spark, sf_dir)
@@ -36,21 +37,28 @@ def x_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_ref string, width int, height int, resized_width int, resized_height int"
 
     def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
-        from calamari_spark.operators.imaging import scale_to_h
+        from calamari_spark.operators.imaging import scale_to_h_dims
         from calamari_spark.sources.pngio import decode_png
 
         for b in batches:
             rows = []
             for ref, png in zip(b["media_ref"], b["png"]):
                 img = decode_png(bytes(png))
-                resized = scale_to_h(img, 32)
+                # geometry only: the resize output of this query is the
+                # (height, width) pair, so resampling the pixels just to
+                # read .shape was ~4 ms/line of discarded work (guide §1.2:
+                # don't compute things you throw away); scale_to_h_dims IS
+                # scale_to_h's own geometry, factored out so the two cannot
+                # drift. The real resample stays attested by x_image_resize
+                # (shadow) and x_pagexml_cutout.
+                rh, rw = scale_to_h_dims(int(img.shape[0]), int(img.shape[1]), 32)
                 rows.append(
                     {
                         "media_ref": ref,
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
-                        "resized_width": int(resized.shape[1]),
-                        "resized_height": int(resized.shape[0]),
+                        "resized_width": rw,
+                        "resized_height": rh,
                     }
                 )
             yield _pd.DataFrame(
@@ -58,7 +66,14 @@ def x_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_ref", "width", "height", "resized_width", "resized_height"],
             )
 
-    return media.select("media_ref", "png").mapInPandas(run, schema=schema).orderBy("media_ref")
+    # fan_out: the media store is a single parquet file at bench SFs, so the
+    # decode kernel otherwise runs on ONE core (the scan's one partition);
+    # PNG payloads are sub-KB line crops, so the spread is cheap
+    return (
+        fan_out(media.select("media_ref", "png"), "media_ref")
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_ref")
+    )
 
 
 def x_image_stats_oracle(sf_dir: str) -> str:
