@@ -357,71 +357,115 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin above is the exactness baseline."""
     import math
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    cent_rows = (
-        emb.filter(
-            (F.col("vec_id") >= IVF_CENTROID_BASE)
-            & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_CELLS)
-        )
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
-        .collect()  # IVF_CELLS rows: the model constant, not data
-    )
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cent_id"])).alias("cent_id"),
-                F.array(*[F.lit(float(v)) for v in r["c_emb"]]).alias("c_emb"),
-                F.lit(math.sqrt(sum(float(v) ** 2 for v in r["c_emb"]))).alias("c_norm"),
-            )
-            for r in sorted(cent_rows, key=lambda r: r["cent_id"])
-        ]
-    )
+    import numpy as np
+    import pandas as pd
 
-    def cos(a, b):
-        return _dot(a, b) / (_norm(a) * _norm(b))
-
-    # per-row scored cells: struct(neg_cos, cent_id) so ascending sort /
-    # array_min ordering = cosine DESC, ties -> lower centroid id
-    scored_cells = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            (-(_dot(F.col("embedding"), c["c_emb"]) / (F.col("e_norm") * c["c_norm"]))).alias("neg_cos"),
-            c["cent_id"].alias("cent_id"),
-        ),
-    )
+    from calamari_spark.functions.arrow import series_udf
     from calamari_spark.plans.common import fan_out
 
-    # fan_out: the cell-assignment cosines are the expensive per-row map
-    # (IVF_CELLS HOF dot products per vector) and the scan is single-file.
-    # This trades the "zero shuffles until top-k" property for parallelism
-    # of the kernel — at 100 TB the input arrives in thousands of files and
-    # the repartition collapses to a no-op-cost spread of raw rows.
-    assign = (
-        fan_out(emb, "vec_id")
-        .withColumn("e_norm", _norm(F.col("embedding")))
-        .withColumn("cent_id", F.array_min(scored_cells)["cent_id"])
-        .select("vec_id", "embedding", "cent_id")
+    emb = load_table(spark, "embeddings", sf_dir)
+    # ONE bounded collect fetches the model constant (centroids) AND the
+    # tiny query set (r5 collected centroids here and derived the query
+    # probes with a second scan + per-row HOF chain)
+    const_rows = (
+        emb.filter(
+            (
+                (F.col("vec_id") >= IVF_CENTROID_BASE)
+                & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_CELLS)
+            )
+            | (F.col("vec_id") < N_QUERY_VECS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows = sorted(
+        (r for r in const_rows if r["vec_id"] >= IVF_CENTROID_BASE),
+        key=lambda r: r["vec_id"],
+    )
+    cent_ids = [int(r["vec_id"]) for r in cent_rows]
+    C = np.array([[float(v) for v in r["embedding"]] for r in cent_rows])
+    # index-order python sum, exactly as the r5 literal computed c_norm
+    c_norms = np.array(
+        [math.sqrt(sum(float(v) ** 2 for v in r["embedding"])) for r in cent_rows]
     )
 
-    # nprobe nearest cells per query: same literal, sort + slice + explode
-    queries = (
-        emb.filter(F.col("vec_id") < N_QUERY_VECS)
-        .withColumn("e_norm", _norm(F.col("embedding")))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(
-                F.slice(F.array_sort(scored_cells), 1, IVF_NPROBE)
-            ).alias("probe"),
-        )
+    # r6: the cell-assignment cosines run as ONE Arrow-vectorized int...
+    # float64 kernel per batch instead of IVF_CELLS interpreted
+    # higher-order-function dot products per row (the same ~20x win the
+    # LSH signature UDF measured). Accumulation is dim-SEQUENTIAL so every
+    # float64 add happens in the same order as the HOF left fold — the
+    # cosines are bit-identical, so assignments, probe choices, ranks and
+    # rounded outputs all match the oracle exactly as before.
+    def _cos_to_cents(M: "np.ndarray") -> "np.ndarray":
+        dot = np.zeros((len(M), len(cent_ids)))
+        nrm = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            dot += M[:, i : i + 1] * C[:, i][None, :]
+            nrm += M[:, i] * M[:, i]
+        return dot / (np.sqrt(nrm)[:, None] * c_norms[None, :])
+
+    def _assign(s):
+        M = np.stack(s.to_numpy()).astype(np.float64)
+        cos = _cos_to_cents(M)
+        # argmax returns the FIRST maximum = lowest cent_id on ties —
+        # the r5 array_min(struct(neg_cos, cent_id)) order exactly
+        return pd.Series([cent_ids[k] for k in np.argmax(cos, axis=1)])
+
+    assign_udf = series_udf(_assign, "int")
+
+    # fan_out: the assignment kernel is the expensive per-row map and the
+    # scan is single-file. This trades the "zero shuffles until top-k"
+    # property for parallelism of the kernel — at 100 TB the input arrives
+    # in thousands of files and the repartition collapses to a no-op-cost
+    # spread of raw rows.
+    assign = fan_out(emb, "vec_id").select(
+        "vec_id", "embedding", assign_udf(F.col("embedding")).alias("cent_id")
     )
-    q_cells = queries.select("query_id", "q_emb", F.col("probe")["cent_id"].alias("cent_id"))
+
+    # nprobe nearest cells per query, computed driver-side from the same
+    # collected rows (5 query vectors — bounded like the centroids): sort
+    # by (cosine DESC, cent_id ASC), take IVF_NPROBE
+    probe_rows = []
+    for r in sorted(
+        (r for r in const_rows if r["vec_id"] < N_QUERY_VECS),
+        key=lambda r: r["vec_id"],
+    ):
+        q = np.array([[float(v) for v in r["embedding"]]])
+        qcos = _cos_to_cents(q)[0]
+        order = np.lexsort((np.array(cent_ids), -qcos))
+        for k in order[:IVF_NPROBE]:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(v) for v in r["embedding"]], cent_ids[k])
+            )
+    q_cells = spark.createDataFrame(
+        probe_rows, "query_id long, q_emb array<double>, cent_id int"
+    )
+
+    # pairwise candidate cosines: vectorized over pairs, dim-SEQUENTIAL
+    # accumulation (same bit pattern as the r5 HOF chain and DuckDB's
+    # list_dot_product)
+    def _pair_cos(qa, eb):
+        A = np.stack(qa.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    pair_cos_udf = series_udf(_pair_cos, "double")
+
     # broadcast the tiny probe set; the assigned corpus streams through once
     cand = F.broadcast(q_cells).join(
         assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e"), "cent_id"),
         "cent_id",
     ).filter(F.col("cand_id") != F.col("query_id"))
-    ranked = cand.withColumn("cosine", cos(F.col("q_emb"), F.col("e"))).withColumn(
+    ranked = cand.withColumn(
+        "cosine", pair_cos_udf(F.col("q_emb"), F.col("e"))
+    ).withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")

@@ -829,39 +829,54 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (_anchor_hash(F.col("t"), p) % SUBSTR_ANCHOR_MOD == 0),
     )
+    from calamari_spark.plans.common import fan_out
+
+    # r6: the per-doc window dedup is array_distinct BEFORE the explode —
+    # a pure map — instead of a global distinct() exchange of every window
+    # row (same (doc_id, win) set by construction). fan_out on the scan:
+    # the r5 comment assumed "the exchange that follows repartitions
+    # anyway", but that exchange runs AFTER the anchor-hash + substring
+    # kernel — which therefore executed on the single-file scan's ONE
+    # partition (measured 2.09 s -> 0.46 s for the window build at sf0.1).
     wins = (
-        docs.select("doc_id", text.alias("t"))
+        fan_out(docs, "doc_id").select("doc_id", text.alias("t"))
         .filter(F.length("t") >= SUBSTR_WINDOW)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    anchors,
-                    lambda p: F.substring(F.col("t"), p, SUBSTR_WINDOW),
+                F.array_distinct(
+                    F.transform(
+                        anchors,
+                        lambda p: F.substring(F.col("t"), p, SUBSTR_WINDOW),
+                    )
                 )
             ).alias("win"),
         )
-        .distinct()  # per-doc: internal repetition is q_repetition_stats' job
     )
-    wins = materialize(wins)  # scanned by the df agg AND the semi-join probe
+    wins = materialize(wins)  # scanned by the df agg AND the flagged probe
     shared = (
         wins.groupBy("win")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 1)
-        .select("win")
+        .select("win", F.lit(1).alias("s"))
     )
+    # r6: ONE per-doc aggregation computes total and duplicated window
+    # counts from the shared-flagged rows (count of non-null flags); the
+    # r5 shape ran a left_semi probe plus TWO separate groupBy(doc_id)
+    # passes over the window table for the same two numbers
     per_doc = (
-        wins.join(shared, "win", "left_semi")
+        wins.join(shared, "win", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("s").alias("n_dup_windows"),
+        )
     )
-    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    # left joins from docs: a doc shorter than WINDOW has ZERO windows and
+    # left join from docs: a doc shorter than WINDOW has ZERO windows and
     # must still appear (n_windows=0, NULL frac) — the repetition-stats
     # inner-join lesson
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

@@ -220,22 +220,44 @@ def _recognize_one(png: bytes, n_folds: int,
     else:
         img = decode_png(bytes(png))
         pooled = recs[0].pooled_scores(img)
-    folds, fold_chars = [], []
     line_width = img.shape[1] if img.ndim == 2 else 0
     ident_meta = {"pad": 0, "m1": 1.0, "m2": 1.0, "line_width": line_width}
-    for rec in recs:
-        sm = rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
-        pred = greedy_decode(sm)
-        # template recognizer emits in raw-image coordinates / STRIDE
-        out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
-        map_global_positions(pred, out_to_in, sm.shape[0], codec.code2char)
-        folds.append(pred)
-        fold_chars.append([codec.code2char[l] for l in pred.labels])
+    sms = [
+        rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
+        for rec in recs
+    ]
 
-    if not with_positions and all(c == fold_chars[0] for c in fold_chars[1:]):
-        voted = folds[0]  # unanimous: voted text == any fold's text
+    from calamari_spark.operators.ctc import greedy_labels
+
+    # cheap unanimity probe first (r6): the RLE argmax label sequence per
+    # fold is ~10x cheaper than the full greedy_decode (which also ranks
+    # every frame's alternatives), and label equality == char equality
+    # (code2char is injective). On the unanimous fast path — the common
+    # case: folds share the correlation and differ only in softmax
+    # temperature — only fold 0 then pays the full decode + position map,
+    # exactly the prediction the r5 path returned for it. Disagreeing
+    # lines fall through to the full per-fold decode + confidence vote,
+    # value-identical to r5's.
+    fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
+    unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
+
+    if not with_positions and unanimous:
+        voted = greedy_decode(sms[0])
+        out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
+        map_global_positions(voted, out_to_in, sms[0].shape[0], codec.code2char)
     else:
-        voted = vote_prediction(folds, fold_chars)
+        folds, fold_chars = [], []
+        for sm in sms:
+            pred = greedy_decode(sm)
+            # template recognizer emits in raw-image coordinates / STRIDE
+            out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
+            map_global_positions(pred, out_to_in, sm.shape[0], codec.code2char)
+            folds.append(pred)
+            fold_chars.append([codec.code2char[l] for l in pred.labels])
+        if not with_positions and all(c == fold_chars[0] for c in fold_chars[1:]):
+            voted = folds[0]  # unanimous: voted text == any fold's text
+        else:
+            voted = vote_prediction(folds, fold_chars)
 
     # word segmentation + final text postproc (the post chain of §2.C)
     parts: List[str] = []

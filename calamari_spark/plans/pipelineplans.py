@@ -681,20 +681,32 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calamari_spark.plans.docsplit import lines_col
 
     docs = load_table(spark, "documents", sf_dir)
-    text = _regularized_col(F.col("text"))
-    w = F.split(text, " ")
+    # r6: STAGED projections. The r5 single-select macro-expanded the
+    # regularizer chain 41x and the word split 33x into one Project, and
+    # because half the measures live inside higher-order-function lambdas
+    # (no whole-stage codegen, no subexpression elimination there) every
+    # copy executed per row. Staging t / w / lines as their own
+    # projections makes them attributes downstream; CollapseProject keeps
+    # the stages separate exactly because each alias is non-cheap and
+    # referenced many times. Same expressions, same values — only the
+    # evaluation count changes (plan: regexp chain now appears once).
+    staged = docs.select(
+        "doc_id", _regularized_col(F.col("text")).alias("t")
+    ).select("doc_id", "t", F.split("t", " ").alias("w")).select(
+        "doc_id", "t", "w", lines_col(F.col("w")).alias("lines")
+    )
+    t, w, lines = F.col("t"), F.col("w"), F.col("lines")
     n_words = F.size(w)
     total_wl = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     mean_wl = F.round(total_wl / n_words, 6)
     alpha_frac = F.round(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words, 6
     )
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     n_ell = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
     ) / 3
     symbol_ratio = F.round((n_hash + n_ell) / n_words, 6)
-    lines = lines_col(w)
     n_lines = F.size(lines)
     bullet_frac = F.round(
         F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))) / n_lines, 6
@@ -712,16 +724,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
-    keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mean_wl.between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
-        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
-        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
-        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
-        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
-        & (stop_hits >= GOPHER_MIN_STOPWORDS)
-    )
-    return docs.select(
+    measures = staged.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -730,8 +733,19 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"),
         stop_hits.cast("long").alias("stopword_hits"),
-        keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
+    # keep is defined over the emitted (rounded) measure columns — the r5
+    # single-select re-derived each measure inside the predicate
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORDS)
+    )
+    return measures.withColumn("keep", keep).orderBy("doc_id")
 
 
 def _gopher_sql() -> str:

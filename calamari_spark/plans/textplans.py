@@ -52,14 +52,28 @@ def q_strip_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calamari_spark.functions.text import html_strip_col
 
     docs = load_table(spark, "documents", sf_dir)
-    clean = _regularized_col(F.col("text"))
-    page = F.concat(F.lit(_PAGE_PRE), clean, F.lit(_PAGE_POST))
-    return docs.select(
+    # r6: stage clean_text and page as their own projections so the
+    # regularizer chain runs once per row (the single-select shape
+    # macro-expanded it 6x — clean feeds the output column AND both page
+    # references; CollapseProject keeps multi-referenced non-cheap aliases
+    # staged). Same expressions, same values.
+    staged = docs.select(
+        "doc_id", _regularized_col(F.col("text")).alias("clean_text")
+    ).select(
         "doc_id",
-        clean.alias("clean_text"),
-        F.length(page).alias("n_raw"),
-        html_strip_col(page).alias("main_text"),
-    ).withColumn("n_main", F.length("main_text")).orderBy("doc_id")
+        "clean_text",
+        F.concat(F.lit(_PAGE_PRE), F.col("clean_text"), F.lit(_PAGE_POST)).alias("page"),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "clean_text",
+            F.length("page").alias("n_raw"),
+            html_strip_col(F.col("page")).alias("main_text"),
+        )
+        .withColumn("n_main", F.length("main_text"))
+        .orderBy("doc_id")
+    )
 
 
 def _strip_regularize_sql() -> str:
@@ -88,13 +102,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row attests both tokenizers; the standalone query remains in
     SHADOW_QUERIES for pytest parity). Pure map, no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
-    clean = _regularized_col(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(F.split(clean, " ")).alias("n_tokens"),
-        F.length(clean).alias("clean_chars"),
-        F.size(F.regexp_extract_all(clean, F.lit(_BPE_PATTERN), 0)).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    # r6: stage the regularized text once (the single-select shape ran the
+    # regexp chain 3x per row — once per output column)
+    return (
+        docs.select("doc_id", _regularized_col(F.col("text")).alias("clean"))
+        .select(
+            "doc_id",
+            F.size(F.split("clean", " ")).alias("n_tokens"),
+            F.length("clean").alias("clean_chars"),
+            F.size(
+                F.regexp_extract_all("clean", F.lit(_BPE_PATTERN), 0)
+            ).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # BPE-ish pre-tokenization (GPT-2-style contraction/word/number/punct
@@ -533,45 +554,59 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_DF = 100
     docs = load_table(spark, "documents", sf_dir)
     clean = _regularized_col(F.col("text"))
-    from calamari_spark.plans.common import fan_out
+    from calamari_spark.plans.common import fan_out, materialize
 
-    # fan_out: spread the regularize+shingle map (single-file scan)
+    # r6 plan (same result set, verified against the unchanged oracle):
+    # * the per-(doc, shingle) distinct is array_distinct of the PER-DOC
+    #   shingle array — a pure map — not a global distinct shuffle of every
+    #   shingle occurrence (the r5 shape's first exchange);
+    # * the MAX_DF stop-shingle filter drops the Zipf HEAD, so the small
+    #   side is the STOP set (df > MAX_DF), not the rare set: aggregate df
+    #   with map-side partial agg, broadcast the stop set, and drop stop
+    #   shingles with a map-side anti join — the r5 left_semi against the
+    #   corpus-sized rare set shuffled the shingle table a second time
+    #   (guide §3.2: reduce the big side before shuffling it);
+    # * candidate pairs come from ONE groupBy(sh) with in-array pair
+    #   expansion over the per-shingle doc list (bounded: df <= MAX_DF by
+    #   the pre-filter, so <= C(MAX_DF, 2) pairs per group) instead of the
+    #   two-sided self-join (guide §2.4: two ops keyed the same way share
+    #   one exchange).
     words = fan_out(docs, "doc_id").select("doc_id", F.split(clean, " ").alias("w"))
     n = F.size("w") - 2
-    raw_shingles = (
-        words.filter(n > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
-                )
-            ).alias("sh"),
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]),
         )
-        .distinct()
     )
-    from calamari_spark.plans.common import materialize
-
-    # raw set: referenced by the DF count AND the semi-join input; the
-    # filtered set: by both self-join sides and the size lookups; sizes: by
-    # both ends of the pair join — each materialized once (see materialize)
-    raw_shingles = materialize(raw_shingles)
-    rare = (
+    # referenced by the stop-set agg AND the anti-join input: one build
+    raw_shingles = materialize(
+        words.filter(n > 0).select("doc_id", F.explode(shingle_arr).alias("sh"))
+    )
+    stop = (
         raw_shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_DF)
+        .filter(F.col("df") > MAX_DF)
         .select("sh")
     )
-    shingles = materialize(raw_shingles.join(rare, "sh", "left_semi"))
-    sizes = materialize(
-        shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingles = raw_shingles.join(F.broadcast(stop), "sh", "left_anti")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    grouped = shingles.groupBy("sh").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    ids = F.col("ids")
+    m = F.size(ids)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), m - 2),
+            lambda i: F.transform(
+                F.slice(ids, i + 2, m),
+                lambda y: F.struct(ids[i].alias("a"), y.alias("b")),
+            ),
+        )
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.filter(m >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))

@@ -204,21 +204,22 @@ def test_gopher_rules_is_pure_map(spark):
 
 
 def test_exact_substring_has_no_pair_join(spark):
-    """ExactSubstr aggregates per window key and semi-probes back: a plan
-    with a shuffled equi-join of the window table against ITSELF on win
-    (other than the left-semi probe) would be the quadratic-skew shape the
-    operator exists to avoid."""
+    """ExactSubstr aggregates per window key and probes back: the window
+    table meets only the AGGREGATED shared-key table (r6: one flagged
+    LeftOuter join feeding a single per-doc aggregation — replacing the r5
+    left-semi + two separate groupBy passes), never ITSELF — an inner
+    equi-join of the window table against itself on win would be the
+    quadratic-skew shape the operator exists to avoid."""
     from calamari_spark.plans.dedup import q_exact_substring
 
     plan = _plan(q_exact_substring(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # exactly one semi join on the window key, never an inner pair join
-    assert plan.count("LeftSemi") == 1
+    # exactly one join on the window key, and it is the outer flag probe
+    # against the grouped (distinct-key) side — not an inner pair join
     win_joins = [
-        seg for seg in plan.splitlines()
-        if "Join" in seg and "win" in seg and "LeftSemi" not in seg
+        seg for seg in plan.splitlines() if "Join" in seg and "win" in seg
     ]
-    assert not win_joins, win_joins
+    assert len(win_joins) == 1 and "LeftOuter" in win_joins[0], win_joins
 
 
 def test_url_dedup_group_join_is_partial_agged(spark):
