@@ -358,9 +358,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     import numpy as np
-    import pandas as pd
 
-    from calamari_spark.functions.arrow import series_udf
     from calamari_spark.plans.common import fan_out
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -389,13 +387,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [math.sqrt(sum(float(v) ** 2 for v in r["embedding"])) for r in cent_rows]
     )
 
-    # r6: the cell-assignment cosines run as ONE Arrow-vectorized int...
-    # float64 kernel per batch instead of IVF_CELLS interpreted
-    # higher-order-function dot products per row (the same ~20x win the
-    # LSH signature UDF measured). Accumulation is dim-SEQUENTIAL so every
-    # float64 add happens in the same order as the HOF left fold — the
-    # cosines are bit-identical, so assignments, probe choices, ranks and
-    # rounded outputs all match the oracle exactly as before.
+    # cell-assignment stays the JVM higher-order-function chain of r5: an
+    # Arrow/pandas kernel was A/B'd SLOWER here (1.39 s -> 1.65 s at
+    # sf0.1) — two extra Python boundary crossings cost more than the
+    # interpreted HOF folds save at IVF_CELLS=8 dot products per row, and
+    # the pure-JVM plan (zero Python nodes) is the property the plan test
+    # guards. _cos_to_cents below is the driver-side twin for the probe
+    # derivation only; dim-sequential accumulation matches the HOF left
+    # fold bit-for-bit.
     def _cos_to_cents(M: "np.ndarray") -> "np.ndarray":
         dot = np.zeros((len(M), len(cent_ids)))
         nrm = np.zeros(len(M))
@@ -404,27 +403,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm += M[:, i] * M[:, i]
         return dot / (np.sqrt(nrm)[:, None] * c_norms[None, :])
 
-    def _assign(s):
-        M = np.stack(s.to_numpy()).astype(np.float64)
-        cos = _cos_to_cents(M)
-        # argmax returns the FIRST maximum = lowest cent_id on ties —
-        # the r5 array_min(struct(neg_cos, cent_id)) order exactly
-        return pd.Series([cent_ids[k] for k in np.argmax(cos, axis=1)])
-
-    assign_udf = series_udf(_assign, "int")
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cent_ids[k]).alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in cent_rows[k]["embedding"]]).alias("c_emb"),
+                F.lit(float(c_norms[k])).alias("c_norm"),
+            )
+            for k in range(len(cent_ids))
+        ]
+    )
+    # per-row scored cells: struct(neg_cos, cent_id) so array_min ordering
+    # = cosine DESC, ties -> lower centroid id
+    scored_cells = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            (-(_dot(F.col("embedding"), c["c_emb"]) / (F.col("e_norm") * c["c_norm"]))).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
 
     # fan_out: the assignment kernel is the expensive per-row map and the
     # scan is single-file. This trades the "zero shuffles until top-k"
     # property for parallelism of the kernel — at 100 TB the input arrives
     # in thousands of files and the repartition collapses to a no-op-cost
     # spread of raw rows.
-    assign = fan_out(emb, "vec_id").select(
-        "vec_id", "embedding", assign_udf(F.col("embedding")).alias("cent_id")
+    assign = (
+        fan_out(emb, "vec_id")
+        .withColumn("e_norm", _norm(F.col("embedding")))
+        .withColumn("cent_id", F.array_min(scored_cells)["cent_id"])
+        .select("vec_id", "embedding", "cent_id")
     )
 
-    # nprobe nearest cells per query, computed driver-side from the same
-    # collected rows (5 query vectors — bounded like the centroids): sort
-    # by (cosine DESC, cent_id ASC), take IVF_NPROBE
+    # r6: nprobe nearest cells per query computed DRIVER-SIDE from the
+    # same collected rows (5 query vectors — bounded like the centroids,
+    # one collect instead of r5's second scan + per-row HOF sort): sort by
+    # (cosine DESC, cent_id ASC), take IVF_NPROBE. _cos_to_cents matches
+    # the HOF fold bit-for-bit, so the probe choices are unchanged.
     probe_rows = []
     for r in sorted(
         (r for r in const_rows if r["vec_id"] < N_QUERY_VECS),
@@ -441,31 +456,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_rows, "query_id long, q_emb array<double>, cent_id int"
     )
 
-    # pairwise candidate cosines: vectorized over pairs, dim-SEQUENTIAL
-    # accumulation (same bit pattern as the r5 HOF chain and DuckDB's
-    # list_dot_product)
-    def _pair_cos(qa, eb):
-        A = np.stack(qa.to_numpy()).astype(np.float64)
-        B = np.stack(eb.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for i in range(A.shape[1]):
-            dot += A[:, i] * B[:, i]
-            na += A[:, i] * A[:, i]
-            nb += B[:, i] * B[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
-
-    pair_cos_udf = series_udf(_pair_cos, "double")
+    def cos(a, b):
+        return _dot(a, b) / (_norm(a) * _norm(b))
 
     # broadcast the tiny probe set; the assigned corpus streams through once
     cand = F.broadcast(q_cells).join(
         assign.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e"), "cent_id"),
         "cent_id",
     ).filter(F.col("cand_id") != F.col("query_id"))
-    ranked = cand.withColumn(
-        "cosine", pair_cos_udf(F.col("q_emb"), F.col("e"))
-    ).withColumn(
+    ranked = cand.withColumn("cosine", cos(F.col("q_emb"), F.col("e"))).withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
