@@ -92,6 +92,36 @@ def greedy_decode(
     return find_alternatives(probabilities, greedy_labels(probabilities, blank), thr)
 
 
+def top1_prediction(probabilities: np.ndarray, blank: int = 0) -> Prediction:
+    """Greedy decode keeping only the TOP character per position — the
+    alternative ranking (find_alternatives' per-position stable argsort +
+    PredChar list) skipped. chars[0] and avg_char_probability are
+    value-identical to find_alternatives' (same frame-range max; argmax
+    over the label-reversed row = first max = ties to the HIGHER label,
+    exactly order[0] of the reference's reversed stable sort — asserted in
+    tests). For consumers that never read alternatives (the text-only
+    extraction fast path) this halves the per-fold decode cost."""
+    sentence = greedy_labels(probabilities, blank)
+    pred = Prediction()
+    pred.labels = [c for c, _, _ in sentence]
+    pred.logits = probabilities
+    pred.avg_char_probability = 0.0
+    if not sentence:
+        return pred
+    pmax = np.stack([np.max(probabilities[s:e], axis=0) for _, s, e in sentence])
+    C = pmax.shape[1]
+    top = (C - 1) - np.argmax(pmax[:, ::-1], axis=1)
+    for i, (c, start, end) in enumerate(sentence):
+        pos = PredPos(local_start=start, local_end=end)
+        pos.chars.append(
+            PredChar(label=int(top[i]), probability=float(pmax[i, top[i]]))
+        )
+        pred.positions.append(pos)
+        pred.avg_char_probability += pos.chars[0].probability
+    pred.avg_char_probability /= len(pred.positions)
+    return pred
+
+
 # ---------------------------------------------------------------------------
 # Prefix beam search (optionally dictionary-constrained via a prefix tree)
 # ---------------------------------------------------------------------------

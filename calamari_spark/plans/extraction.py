@@ -242,7 +242,13 @@ def _recognize_one(png: bytes, n_folds: int,
     unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
 
     if not with_positions and unanimous:
-        voted = greedy_decode(sms[0])
+        # top-1-only decode: this path never reads alternatives (the
+        # sentence builds from chars[0] + global_start spacing), and
+        # top1_prediction's chars[0]/avg_char_probability are
+        # value-identical to the full find_alternatives ranking
+        from calamari_spark.operators.ctc import top1_prediction
+
+        voted = top1_prediction(sms[0])
         out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
         map_global_positions(voted, out_to_in, sms[0].shape[0], codec.code2char)
     else:

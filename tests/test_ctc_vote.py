@@ -258,3 +258,30 @@ def test_tokenpass_bounded_dictionary_identical_decode_and_bounded_cost():
     # ~50x fewer dictionary words must be at least a few times faster even
     # on a noisy box (generous margin; the work ratio is linear in |dict|)
     assert t_topk * 3 < t_full
+
+
+def test_top1_prediction_matches_greedy_decode_top1():
+    """top1_prediction is the alternatives-free fast path of greedy_decode
+    (r6: the unanimous-ensemble extraction path uses it): its labels,
+    chars[0] (label, probability — including the ties-to-higher-label
+    order), local extents and avg_char_probability must equal
+    greedy_decode's exactly, on random matrices AND exact-tie rows."""
+    from calamari_spark.operators.ctc import greedy_decode, top1_prediction
+
+    rng = np.random.RandomState(7)
+    mats = [rng.dirichlet(np.ones(6), size=20) for _ in range(5)]
+    # exact ties: two labels share the max probability in every frame
+    tie = np.zeros((8, 6))
+    tie[:, 2] = tie[:, 4] = 0.35
+    tie[:, 0] = 0.30
+    mats.append(tie)
+    mats.append(np.zeros((0, 6)))  # empty input
+    for m in mats:
+        full, fast = greedy_decode(m), top1_prediction(m)
+        assert fast.labels == full.labels
+        assert len(fast.positions) == len(full.positions)
+        for a, b in zip(fast.positions, full.positions):
+            assert (a.local_start, a.local_end) == (b.local_start, b.local_end)
+            assert a.chars[0].label == b.chars[0].label
+            assert a.chars[0].probability == b.chars[0].probability
+        assert fast.avg_char_probability == full.avg_char_probability
