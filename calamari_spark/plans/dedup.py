@@ -377,11 +377,18 @@ def _cc_minlabel(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFra
     executed round count to stats["rounds"]."""
     from calamari_spark.plans.common import materialize_tracked, release_materialized
 
-    labels, own_prev = materialize_tracked(
+    # r6: the init labels are NOT materialized — round 1's single
+    # materialize job evaluates the distinct-over-materialized-edges
+    # subtree twice (both references are cheap block scans), which beats
+    # paying a separate localCheckpoint job for a table round 1 supersedes
+    # immediately (A/B: 1.18 s -> 1.09 s for the loop at sf0.1).
+    # release_materialized(None) is a no-op, so the round-1 release is safe.
+    labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    own_prev = None
     stats["rounds"] = 0
     for _ in range(max_iter):
         stats["rounds"] += 1
