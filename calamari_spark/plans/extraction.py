@@ -238,10 +238,13 @@ def _recognize_one(png: bytes, n_folds: int,
     # exactly the prediction the r5 path returned for it. Disagreeing
     # lines fall through to the full per-fold decode + confidence vote,
     # value-identical to r5's.
-    fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
-    unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
+    if with_positions:
+        unanimous = False  # positions path always builds every fold's tree
+    else:
+        fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
+        unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
 
-    if not with_positions and unanimous:
+    if unanimous:
         # top-1-only decode: this path never reads alternatives (the
         # sentence builds from chars[0] + global_start spacing), and
         # top1_prediction's chars[0]/avg_char_probability are
