@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # generated-class cache: the default 100 entries thrashes on a
+        # session that runs the full query suite (each multi-stage plan
+        # compiles several classes; evictions force Janino to recompile
+        # identical source on every re-run — measured 15.1 s vs 12.4 s of
+        # JIT-compile time and ~15% wall on a 10-query suite pass at
+        # sf0.1). Scale-neutral: the cache is keyed on generated source,
+        # so this is purely "don't recompile what you already compiled" —
+        # the same setting a long-lived production session wants.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
