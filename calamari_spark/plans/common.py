@@ -129,6 +129,29 @@ def materialize_tracked(
     return spark.read.parquet(path), MatHandle("parquet", path=path)
 
 
+def materialize_tracked_counting(
+    df: DataFrame, predicate_col: str, backend: str | None = None
+) -> tuple[DataFrame, MatHandle, int]:
+    """materialize_tracked() that ALSO returns count(rows where
+    ``predicate_col``) — the shape of an iterative loop's convergence
+    check. Under the ``local`` backend the checkpoint is LAZY and the
+    count is the materializing action, so the round pays ONE job instead
+    of two (eager-checkpoint job + count job): the full count touches
+    every partition (no limit short-circuit), the marked RDD's blocks
+    persist as they compute, and Spark's post-action doCheckpoint finds
+    nothing left to compute. Under ``reliable``/``parquet`` the eager path
+    is kept — their lazy doCheckpoint RE-RUNS the plan to write files, so
+    laziness would compute the round twice — and the count is a cheap scan
+    of the durable files."""
+    backend = backend or os.environ.get(BACKEND_ENV, "local")
+    if backend == "local":
+        out = df.localCheckpoint(eager=False)
+        cnt = out.filter(out[predicate_col]).count()
+        return out, MatHandle("local", rdd_id=_owned_internal_rdd(out).id()), cnt
+    out, handle = materialize_tracked(df, backend)
+    return out, handle, out.filter(out[predicate_col]).count()
+
+
 def release_materialized(spark, handle: MatHandle | None) -> None:
     """Free ONE materialize_tracked() intermediate. Only call when no live
     plan still reads it (for local there is no lineage fallback after

@@ -151,11 +151,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return materialize(_signature_frame(words))
 
 
-def _signature_frame(words: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15) from a (doc_id, w) frame of pre-split word arrays
-    — the per-doc map shared by minhash_signatures and the incremental
-    path (which stages the regularized text once for fingerprints AND
-    signatures)."""
+def _signature_frame(
+    words: DataFrame, carry: tuple = (), keep_all: bool = False
+) -> DataFrame:
+    """(doc_id, *carry, h0..h15) from a (doc_id, *carry, w) frame of
+    pre-split word arrays — the per-doc map shared by minhash_signatures
+    and the incremental path. ``keep_all`` keeps docs with no shingle
+    (fewer than 3 words) as rows with NULL h columns instead of dropping
+    them — the shape the incremental path needs when the SAME materialized
+    frame also carries every doc's content fingerprint (shs is NULL there
+    and transform/array_min propagate the NULL)."""
     n = F.size("w") - 2
     shingle_arr = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -163,11 +168,13 @@ def _signature_frame(words: DataFrame) -> DataFrame:
             " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]
         ),
     )
+    base = words if keep_all else words.filter(n > 0)
+    shs = F.when(n > 0, shingle_arr) if keep_all else shingle_arr
     return (
-        words.filter(n > 0)
-        .select("doc_id", shingle_arr.alias("shs"))
+        base.select("doc_id", *carry, shs.alias("shs"))
         .select(
             "doc_id",
+            *carry,
             *[
                 F.array_min(
                     F.transform(
@@ -375,7 +382,10 @@ def _cc_nonconverged(max_iter: int) -> RuntimeError:
 def _cc_minlabel(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFrame:
     """Min-label propagation over symmetric edges (src, dst); writes the
     executed round count to stats["rounds"]."""
-    from calamari_spark.plans.common import materialize_tracked, release_materialized
+    from calamari_spark.plans.common import (
+        materialize_tracked_counting,
+        release_materialized,
+    )
 
     # r6: the init labels are NOT materialized — round 1's single
     # materialize job evaluates the distinct-over-materialized-edges
@@ -402,22 +412,27 @@ def _cc_minlabel(spark, edges: DataFrame, max_iter: int, stats: dict) -> DataFra
             .select(F.col("src").alias("doc_id"), "min_nbr")
         )
         new_label = F.least(F.col("label"), F.coalesce("min_nbr", F.col("label")))
-        new_labels, own_new = materialize_tracked(
+        # r6.2: the round's materialize and its convergence count are ONE
+        # job (materialize_tracked_counting) — the count is the
+        # materializing action under the local backend, halving the loop's
+        # per-round job count.
+        new_labels, own_new, changed = materialize_tracked_counting(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 new_label.alias("label"),
                 (new_label < F.col("label")).alias("changed"),
-            )
+            ),
+            "changed",
         )
-        # the new round is materialized eagerly: the previous round's
-        # blocks/files are dead weight from here on. The handle releases
-        # ONLY what this loop created — ownership is read off the returned
-        # frame's own LogicalRDD, never inferred from a global persistent-
-        # RDD diff that could swallow a concurrent query's checkpoint.
+        # the new round is fully materialized by the count above: the
+        # previous round's blocks/files are dead weight from here on. The
+        # handle releases ONLY what this loop created — ownership is read
+        # off the returned frame's own LogicalRDD, never inferred from a
+        # global persistent-RDD diff that could swallow a concurrent
+        # query's checkpoint.
         release_materialized(spark, own_prev)
         own_prev = own_new
-        changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
             break
@@ -705,10 +720,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = F.pmod(F.col("doc_id"), F.lit(INCR_WAVE_MOD)) == 0
 
     # referenced twice (wave + snapshot filters): one regularize+md5 pass.
-    # (An r6 experiment staging the regularized TEXT once for both the
-    # fingerprint and signature passes was A/B'd SLOWER — 2.34 s -> 2.97 s
-    # at sf0.1: checkpointing the full clean-text column costs more than
-    # the second regularize pass saves. Kept the r5 shape.)
+    # (TWO r6 fusion experiments were A/B'd SLOWER and reverted: (1)
+    # staging the regularized TEXT once for both passes — 2.34 s -> 2.97 s
+    # at sf0.1, the wide clean-text checkpoint costs more than the second
+    # regularize saves; (2) fusing fps + h0..h15 into ONE 18-column
+    # materialize via _signature_frame(carry=..., keep_all=True) — jobs
+    # drop 21 -> 19 but every one of the ~8 downstream probe subtrees then
+    # scans the 64-partition wide blocks, doubling task count 529 -> 1050
+    # and costing ~+0.5 s at sf0.1 AND at 5x (interleaved A/B mins
+    # 2.98/4.91 s old vs 3.89/5.43 s fused). The narrow few-partition fps
+    # table the probes scan 4x is worth more at bench scale than the
+    # second regularize pass it costs; at true 100 TB the fused single
+    # corpus pass wins, and _signature_frame keeps the carry/keep_all
+    # hooks for that configuration.)
     fps = materialize(
         docs.select("doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fp"), inc.alias("inc"))
     )

@@ -122,9 +122,14 @@ def load_vocab_bigrams(sf_dir: str) -> Dict[tuple, int]:
 
 
 def load_interleaved(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataFrame]:
+    # schema-cached reads: every x_* query calls this, and each plain
+    # spark.read.parquet() pays a one-task schema-inference job (~0.15 s
+    # of driver latency each — see sources/tables.py)
+    from calamari_spark.sources.tables import read_parquet_cached_schema
+
     d = interleaved_dir(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(d, "documents_spans.parquet"))
-    media = spark.read.parquet(os.path.join(d, "line_images.parquet"))
+    docs = read_parquet_cached_schema(spark, os.path.join(d, "documents_spans.parquet"))
+    media = read_parquet_cached_schema(spark, os.path.join(d, "line_images.parquet"))
     return docs, media
 
 
@@ -222,27 +227,58 @@ def _recognize_one(png: bytes, n_folds: int,
         pooled = recs[0].pooled_scores(img)
     line_width = img.shape[1] if img.ndim == 2 else 0
     ident_meta = {"pad": 0, "m1": 1.0, "m2": 1.0, "line_width": line_width}
-    sms = [
-        rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
-        for rec in recs
-    ]
 
     from calamari_spark.operators.ctc import greedy_labels
 
-    # cheap unanimity probe first (r6): the RLE argmax label sequence per
-    # fold is ~10x cheaper than the full greedy_decode (which also ranks
-    # every frame's alternatives), and label equality == char equality
-    # (code2char is injective). On the unanimous fast path — the common
-    # case: folds share the correlation and differ only in softmax
-    # temperature — only fold 0 then pays the full decode + position map,
-    # exactly the prediction the r5 path returned for it. Disagreeing
-    # lines fall through to the full per-fold decode + confidence vote,
-    # value-identical to r5's.
+    def _fold_sm(rec):
+        return (
+            rec.softmax_from_scores(pooled)
+            if pooled is not None
+            else rec._blank_softmax(img)
+        )
+
+    # cheap unanimity probe first (r6): label equality == char equality
+    # (code2char is injective), and on the unanimous fast path — the
+    # common case: folds share the correlation and differ only in softmax
+    # temperature/threshold — only fold 0 pays the full decode + position
+    # map, exactly the prediction the r5 path returned for it.
+    #
+    # r6.2: unanimity is first PROVEN from the shared pooled scores so the
+    # provable case (virtually every line) skips folds 1..K-1 entirely —
+    # no softmax, no RLE. Per softmax_from_scores, a fold's frame label is
+    # blank off-peak (blank 0.9 vs <= 0.1) and on-peak the temperature-
+    # invariant argmax of the pooled row — unless 0.02 blank outweighs
+    # 0.98 * p_top, which (p_top being monotone in beta) can only happen
+    # at the SMALLEST beta, fold 0. So if (a) no frame's best correlation
+    # falls in [min_threshold, max_threshold) — every fold sees the same
+    # peak set — and (b) fold 0's argmax on each peak frame is a char,
+    # not blank, then every fold's frame-label sequence (hence its RLE)
+    # is provably identical. Lines failing the cheap test fall through to
+    # the exact per-fold softmax + RLE comparison (which can still find
+    # unanimity, e.g. a threshold-straddling frame that merges into an
+    # adjacent run). Equivalence old-vs-new asserted per line in
+    # tests/test_extraction.py::test_provable_unanimity_matches_full_probe.
     if with_positions:
         unanimous = False  # positions path always builds every fold's tree
+        sms = [_fold_sm(rec) for rec in recs]
     else:
-        fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
-        unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
+        sms = [_fold_sm(recs[0])]
+        if pooled is None:
+            unanimous = True  # every fold emits the identical blank matrix
+        else:
+            best = pooled[:, 1:].max(axis=1, initial=0.0)
+            thresholds = [rec.peak_threshold for rec in recs]
+            lo, hi = min(thresholds), max(thresholds)
+            unanimous = not np.any((best >= lo) & (best < hi))
+            if unanimous:
+                peaks = best >= hi  # == every fold's peak mask here
+                unanimous = bool(
+                    np.all(np.argmax(sms[0][peaks], axis=1) != 0)
+                )
+        if not unanimous:
+            sms += [_fold_sm(rec) for rec in recs[1:]]
+            fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
+            unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
 
     if unanimous:
         # top-1-only decode: this path never reads alternatives (the

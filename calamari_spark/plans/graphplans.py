@@ -119,16 +119,20 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                     ).cast("long").alias("rank"),
                 )
             )
-            # r6: materialize every SECOND round (and the last) instead of
-            # every round — the intermediate round chains lazily on top of
-            # the previous checkpoint, so each materialize job executes two
-            # join+groupBy rounds. Integer arithmetic makes the values
-            # identical either way; lineage depth stays bounded at 2 rounds
-            # and the storage-release discipline is unchanged (one live
-            # rank table at any moment). Halves the per-round job count —
-            # driver job latency was half the wall time of the 8-round loop
-            # at bench SFs.
-            if k % 2 == 1 or k == iters - 1:
+            # r6: intermediate rounds chain LAZILY; only the final round
+            # is materialized, so the whole fixed-K iteration executes as
+            # ONE job of K chained join+groupBy stages (r5 materialized
+            # every round, r6.0 every second round — A/B at sf0.1:
+            # 2.50 s -> 2.15 s min going from every-2nd to final-only,
+            # with the per-round driver job latency gone). Safe here
+            # because K is a small FIXED constant (no convergence action
+            # mid-loop, unlike connected_components), integer arithmetic
+            # makes the values identical under any grouping, each
+            # intermediate is referenced exactly once (nothing recomputes),
+            # and stage-level shuffle-file recovery covers executor loss
+            # inside the job. Storage discipline improves: no intermediate
+            # rank table is ever pinned — only the returned final table.
+            if k == iters - 1:
                 mat, own_new = materialize_tracked(new_ranks)
                 # previous checkpoint is dead weight from here
                 # (see _cc_minlabel)

@@ -144,3 +144,102 @@ def test_null_span_element_does_not_duplicate_doc(spark, corpus):
     rows = X.extract_documents(docs, media).collect()
     assert len(rows) == 1
     assert [s["text"] for s in rows[0]["spans"]] == ["a b"]
+
+
+def _recognize_one_reference(png, n_folds, precomputed=None):
+    """The r6.0 text-only kernel (all-fold softmax + RLE unanimity probe)
+    kept verbatim as the equivalence reference for the r6.2 provable-
+    unanimity shortcut: the shortcut may only change WHICH folds get
+    computed, never the returned tuple."""
+    from calamari_spark.model.template import STRIDE
+    from calamari_spark.operators.ctc import (
+        greedy_decode,
+        greedy_labels,
+        top1_prediction,
+    )
+    from calamari_spark.operators.vote import (
+        make_out_to_in,
+        map_global_positions,
+        vote_prediction,
+    )
+    from calamari_spark.sources.pngio import decode_png
+
+    codec, recs = X._get_recognizers(n_folds)
+    if precomputed is not None:
+        img, pooled = precomputed
+    else:
+        img = decode_png(bytes(png))
+        pooled = recs[0].pooled_scores(img)
+    line_width = img.shape[1] if img.ndim == 2 else 0
+    ident_meta = {"pad": 0, "m1": 1.0, "m2": 1.0, "line_width": line_width}
+    sms = [
+        rec.softmax_from_scores(pooled) if pooled is not None else rec._blank_softmax(img)
+        for rec in recs
+    ]
+    fold_labels = [[c for c, _, _ in greedy_labels(sm)] for sm in sms]
+    unanimous = all(l == fold_labels[0] for l in fold_labels[1:])
+    if unanimous:
+        voted = top1_prediction(sms[0])
+        out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
+        map_global_positions(voted, out_to_in, sms[0].shape[0], codec.code2char)
+    else:
+        folds, fold_chars = [], []
+        for sm in sms:
+            pred = greedy_decode(sm)
+            out_to_in = make_out_to_in(ident_meta, model_factor=float(STRIDE))
+            map_global_positions(pred, out_to_in, sm.shape[0], codec.code2char)
+            folds.append(pred)
+            fold_chars.append([codec.code2char[l] for l in pred.labels])
+        if all(c == fold_chars[0] for c in fold_chars[1:]):
+            voted = folds[0]
+        else:
+            voted = vote_prediction(folds, fold_chars)
+    parts, prev_start = [], None
+    for pos in voted.positions:
+        if not pos.chars:
+            continue
+        if prev_start is not None:
+            parts.append(" " * X._spaces_between(prev_start, pos.global_start))
+        parts.append(pos.chars[0].char)
+        prev_start = pos.global_start
+    from calamari_spark.functions.text import regularize_str
+
+    sentence = regularize_str("".join(parts), rulesets=X.TEXT_RULESETS)
+    return sentence, float(voted.avg_char_probability), []
+
+
+def test_provable_unanimity_matches_full_probe(spark, corpus):
+    """r6.2 kernel shortcut equivalence: for every fixture line, the
+    provable-unanimity path returns the exact tuple the full per-fold
+    probe returned — and synthetic threshold-straddling pooled matrices
+    (the non-provable branch, absent from the deterministic corpus) agree
+    too, including one where the straddle frame merges into an adjacent
+    run (fallback still finds unanimity) and one where folds genuinely
+    disagree (vote path)."""
+    _, media = corpus
+    pngs = [bytes(r["png"]) for r in media.select("png").collect()]
+    assert len(pngs) > 100
+    for png in pngs:
+        assert X._recognize_one(png, 3, with_positions=False) == \
+            _recognize_one_reference(png, 3)
+
+    # synthetic straddle cases injected via precomputed pooled scores
+    codec, recs = X._get_recognizers(3)
+    classes = len(codec.charset)
+    img = np.zeros((48, 64), dtype=np.uint8) + 255
+    cases = [
+        [(0, 0.993)],                       # lone straddle char: folds disagree
+        [(0, 0.999), (1, 0.993)],           # distinct chars: disagree -> vote
+        [(0, 0.999), (2, 0.2), (1, 0.993)],
+        [(0, 0.999), (0, 0.993)],           # SAME char adjacent: the straddle
+                                            # frame merges into the run, so the
+                                            # fallback probe still finds
+                                            # unanimity (fold RLEs equal)
+    ]
+    for case in cases:
+        pooled = np.zeros((2 + len(case), classes), dtype=np.float32)
+        for t, (ch, v) in enumerate(case):
+            pooled[t + 1, 2 + ch] = v
+        pre = (img, pooled)
+        assert X._recognize_one(b"", 3, with_positions=False, precomputed=pre) == \
+            _recognize_one_reference(b"", 3, precomputed=pre)
