@@ -733,9 +733,27 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second regularize pass it costs; at true 100 TB the fused single
     # corpus pass wins, and _signature_frame keeps the carry/keep_all
     # hooks for that configuration.)
-    fps = materialize(
-        docs.select("doc_id", F.md5(F.lower(_regularized_col(F.col("text")))).alias("fp"), inc.alias("inc"))
-    )
+    #
+    # The fingerprint and signature materializes are INDEPENDENT jobs over
+    # the same input, so they are submitted from a 2-thread pool and run
+    # CONCURRENTLY (guide §2.6: actions are only sequential because driver
+    # code calls them sequentially; the second job's tasks back-fill
+    # executors freed by the first's tail). Interleaved A/B at sf0.1:
+    # 2.29 s -> 1.82 s min. Values are unaffected — both jobs are
+    # deterministic and only their scheduling overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_fps = pool.submit(
+            materialize,
+            docs.select(
+                "doc_id",
+                F.md5(F.lower(_regularized_col(F.col("text")))).alias("fp"),
+                inc.alias("inc"),
+            ),
+        )
+        f_sig = pool.submit(minhash_signatures, docs)
+        fps, sig = f_fps.result(), f_sig.result()
     inc_fp, ex_fp = fps.filter(F.col("inc")), fps.filter(~F.col("inc"))
     hit_fps = (
         ex_fp.join(F.broadcast(inc_fp.select("fp").distinct()), "fp", "left_semi")
@@ -744,7 +762,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_ids = inc_fp.join(F.broadcast(hit_fps), "fp", "left_semi").select("doc_id")
 
-    bands = band_keys(minhash_signatures(docs)).withColumn("inc", inc)
+    bands = band_keys(sig).withColumn("inc", inc)
     inc_b, ex_b = bands.filter(F.col("inc")), bands.filter(~F.col("inc"))
     hit_keys = (
         ex_b.join(F.broadcast(inc_b.select("band", "key").distinct()), ["band", "key"], "left_semi")
