@@ -25,6 +25,27 @@ from calamari_spark.operators.predtypes import PredChar, PredPos, Prediction
 DEFAULT_THRESHOLD = 1e-4
 
 
+def _segment_maxes(probabilities: np.ndarray, sentence) -> np.ndarray:
+    """[len(sentence), classes] frame-range max per decoded position — ONE
+    np.maximum.reduceat over interleaved [s0,e0,s1,e1,...] boundaries
+    instead of a Python loop of per-position slice maxes (the loop was
+    ~10% of the text-only kernel). Bit-identical: max over the same
+    elements in any association. Even-indexed reduceat segments are the
+    [s,e) char ranges; odd ones are the inter-char gaps (discarded — when
+    e_i == s_{i+1} the empty gap segment yields a[e_i] per reduceat's
+    contract, also discarded). A trailing boundary equal to len(a) must be
+    dropped (reduceat indices are exclusive of len): the final segment
+    then runs [s_last, len) which IS the last char's range because
+    e_last == len there."""
+    bounds = np.empty(2 * len(sentence), dtype=np.int64)
+    for i, (_, s, e) in enumerate(sentence):
+        bounds[2 * i] = s
+        bounds[2 * i + 1] = e
+    if bounds[-1] == len(probabilities):
+        bounds = bounds[:-1]
+    return np.maximum.reduceat(probabilities, bounds, axis=0)[::2]
+
+
 def greedy_labels(probabilities: np.ndarray, blank: int = 0) -> List[Tuple[int, int, int]]:
     """Per-frame argmax, collapse adjacent repeats, drop blanks; returns
     [(label, start_frame, end_frame_exclusive)]
@@ -63,9 +84,7 @@ def find_alternatives(
         # vectorized over all decoded positions: frame-range max + one
         # argsort per position (stable mergesort on -p ties like the
         # reference's reversed stable sort: higher label first on ties)
-        pmax = np.stack(
-            [np.max(probabilities[s:e], axis=0) for _, s, e in sentence]
-        )
+        pmax = _segment_maxes(probabilities, sentence)
         # stable argsort over the label-reversed array: p descending with
         # ties going to the higher label, exactly the reference order
         C = pmax.shape[1]
@@ -108,7 +127,7 @@ def top1_prediction(probabilities: np.ndarray, blank: int = 0) -> Prediction:
     pred.avg_char_probability = 0.0
     if not sentence:
         return pred
-    pmax = np.stack([np.max(probabilities[s:e], axis=0) for _, s, e in sentence])
+    pmax = _segment_maxes(probabilities, sentence)
     C = pmax.shape[1]
     top = (C - 1) - np.argmax(pmax[:, ::-1], axis=1)
     for i, (c, start, end) in enumerate(sentence):
