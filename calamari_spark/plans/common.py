@@ -115,6 +115,19 @@ def materialize_tracked(
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(os.path.join(_durable_dir(spark), "ckpt"))
+        # NOTE on the persist-before-checkpoint idiom: a reliable
+        # checkpoint's file-writing job re-computes the plan, and
+        # persist-first halves a COMPUTE-HEAVY frame (A/B on a 2M-row
+        # sha2 frame: 1.00 s plain vs 0.46 s persist-first). It was
+        # nevertheless A/B'd SLOWER for the loops that actually use this
+        # backend here — the CC rounds' per-round frames are cheap to
+        # recompute from the already-materialized edges, so the extra
+        # cache write+read pass costs more than the recompute
+        # (interleaved q_dedup_clusters under reliable at sf0.1: plain
+        # won 4 of 5 pairs, mins 2.97 s vs 3.35 s). A 100 TB deployment
+        # checkpointing an expensive un-cached frame should persist
+        # first; for these loop shapes plain checkpoint is the right
+        # default.
         out = df.checkpoint()
         ckpt = _owned_internal_rdd(out).getCheckpointFile()
         path = ckpt.get() if ckpt.isDefined() else None
