@@ -264,9 +264,13 @@ PACK_SCHEMA = "doc_id long, bucket int, seq_no int, offset int, n_tokens int"
 
 def pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy pack of ONE bucket's docs (doc_id order): a doc that would
-    overflow PACK_TARGET starts a new sequence at offset 0. Applied per
-    bucket via applyInPandas; the DuckDB recursive CTE replays the same
-    fold, so the cross-engine hash attests these sequential semantics."""
+    overflow PACK_TARGET starts a new sequence at offset 0. The whole-
+    bucket-at-once REFERENCE implementation — kept for the property tests
+    and as the equivalence oracle for the streaming kernel below, which
+    q_pack_sequences actually runs (the r5 groupBy(bucket).applyInPandas
+    shape materialized corpus/N_PACK_BUCKETS rows in one pandas frame).
+    The DuckDB recursive CTE replays the same fold, so the cross-engine
+    hash attests these sequential semantics."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     seq_no, fill = 0, 0
     seqs, offs = [], []
@@ -284,6 +288,35 @@ def pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[["doc_id", "bucket", "seq_no", "offset", "n_tokens"]]
 
 
+def pack_stream_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Streaming greedy pack over (bucket, doc_id)-sorted batches of ONE
+    partition: the (bucket, seq_no, fill) state carries ACROSS Arrow
+    batches, so memory is O(batch), never O(bucket). Same greedy fold as
+    pack_kernel — a doc that would overflow PACK_TARGET starts a new
+    sequence at offset 0, except a bucket's first doc — applied per
+    bucket run (hash partitioning puts every bucket wholly in one
+    partition; the sort makes its rows one contiguous doc_id-ordered
+    run, so a bucket change simply resets the state)."""
+    cur_bucket, seq_no, fill, started = None, 0, 0, False
+    for b in batches:
+        seqs, offs = [], []
+        for bucket, n in zip(b["bucket"], b["n_tokens"]):
+            n = int(n)
+            if bucket != cur_bucket:
+                cur_bucket, seq_no, fill, started = bucket, 0, 0, False
+            if started and fill + n > PACK_TARGET:
+                seq_no += 1
+                fill = 0
+            seqs.append(seq_no)
+            offs.append(fill)
+            fill += n
+            started = True
+        out = b[["doc_id", "bucket", "n_tokens"]].copy()
+        out["seq_no"] = pd.Series(seqs, dtype="int32")
+        out["offset"] = pd.Series(offs, dtype="int32")
+        yield out[["doc_id", "bucket", "seq_no", "offset", "n_tokens"]]
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
@@ -292,9 +325,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_words(F.col("text"))).alias("n_tokens"),
     )
 
+    # r6.2 (VERDICT r5 Wrong #1): the old groupBy(bucket).applyInPandas
+    # held one WHOLE bucket — corpus/N_PACK_BUCKETS rows — in a single
+    # in-memory pandas frame (applyInPandas does not stream a group): an
+    # executor OOM at 10^12 docs regardless of executor count. Now: hash-
+    # partition by bucket (every bucket lands wholly in one partition),
+    # disk-spillable sortWithinPartitions puts each bucket's docs in one
+    # contiguous doc_id-ordered run, and the ITERATOR kernel above packs
+    # with O(Arrow batch) memory, carrying state across batches. Same
+    # values (the DuckDB recursive-CTE oracle pins the sequential
+    # semantics; equivalence + forced-tiny-batch state-carry tests in
+    # tests/test_pipelineplans.py).
+    n_part = spark.sparkContext.defaultParallelism
     return (
-        toks.groupBy("bucket")
-        .applyInPandas(pack_kernel, PACK_SCHEMA)
+        toks.repartition(n_part, "bucket")
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapInPandas(pack_stream_kernel, PACK_SCHEMA)
         .orderBy("doc_id")
     )
 

@@ -10,9 +10,11 @@ from calamari_spark.plans.pipelineplans import (
     PACK_SCHEMA,
     PACK_TARGET,
     pack_kernel,
+    pack_stream_kernel,
     q_decontaminate,
     q_pack_sequences,
 )
+from calamari_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -242,3 +244,62 @@ def test_corpus_datacard_known_values(spark, tmp_path):
     ddf = con.execute(_datacard_sql()).df()
     for c in out.columns:
         assert str(ddf.iloc[0][c]) == str(r[c]), c
+
+
+def test_pack_stream_matches_whole_bucket_reference(spark):
+    """The streaming pack (hash-partition + sort + iterator mapInPandas,
+    O(batch) memory) must emit EXACTLY what the whole-bucket reference
+    kernel emits — including with Arrow batches forced far smaller than a
+    bucket, which proves the (bucket, seq_no, fill) state carries across
+    batch boundaries."""
+    ref = (
+        load_table(spark, "documents", SF)
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(N_PACK_BUCKETS)).cast("int").alias("bucket"),
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+        )
+    )
+    # the corpus token column in q_pack_sequences uses the regularizer;
+    # compare the full query against itself under tiny batches instead of
+    # re-deriving the token counts here
+    normal = q_pack_sequences(spark, SF).toPandas()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = q_pack_sequences(spark, SF).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert normal.equals(tiny)
+    # and the streaming result equals the whole-bucket reference fold,
+    # bucket by bucket, on the same token table
+    got = (
+        ref.repartition(8, "bucket")
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapInPandas(pack_stream_kernel, PACK_SCHEMA)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = (
+        ref.groupBy("bucket")
+        .applyInPandas(pack_kernel, PACK_SCHEMA)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.equals(want)
+
+
+def test_pack_sequences_has_no_group_materialization(spark):
+    """The executed plan must stream (MapInPandas over a partition-sorted
+    exchange), never materialize a whole bucket as one pandas group
+    (FlatMapGroupsInPandas) — the r5 shape that held corpus/8 rows in one
+    frame."""
+    plan = (
+        q_pack_sequences(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert "Sort" in plan  # the within-partition (bucket, doc_id) sort
